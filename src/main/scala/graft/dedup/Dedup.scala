@@ -1,0 +1,166 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Hash-function choice: every hash here is `md5` (hex string) or an
+  * integer derived from an md5 prefix. md5 is deterministic, identical
+  * across engines (which makes the DuckDB oracle exact), and uniformly
+  * distributed — MinHash only needs a random-looking total order per seed,
+  * and lexicographic order over md5 hex provides one.
+  *
+  * Scale: all stages are hash-partitioned group-bys / joins on
+  * shingle or signature keys — no driver-side state, no cross join.
+  * The only quadratic step is *within candidate buckets*, which is the
+  * point of LSH banding: at 100 TB the band-bucket join replaces the
+  * O(n²) pairwise scan with an O(candidates) one.
+  */
+object Dedup {
+
+  /** Word tokens with position, one row per (id, pos, token). */
+  def tokens(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), posexplode(split(col(text), " ")).as(Seq("pos", "token")))
+
+  /** Distinct word n-gram shingles per document (default n=3). */
+  def shingles(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val parts = (0 until n).map {
+      case 0 => col("token")
+      case i => lead(col("token"), i).over(w)
+    }
+    tokens(df, id, text)
+      .withColumn("__last", parts.last)
+      .withColumn("shingle", concat_ws(" ", parts.init :+ col("__last"): _*))
+      .filter(col("__last").isNotNull)
+      .select(col(id), col("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: canonical (min id) representative per identical text.
+    * The classic hash-groupBy — one shuffle on the digest. */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("digest"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Pairwise n-gram Jaccard similarity ≥ threshold.
+    * Inverted-index self-join on shingle → common counts → |A∪B| by
+    * inclusion-exclusion. Emits (id_a < id_b, jaccard). */
+  def ngramJaccard(df: DataFrame, id: String, text: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, id, text, n).cache()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(id).as("id_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for seed s, minhash = min(md5(s || '|' || shingle)).
+    * All `numHashes` signature slots are computed as parallel aggregate
+    * columns in ONE pass over the shingle rows (map-side partial min, one
+    * shuffle of id × numHashes small strings) — no row explosion.
+    * Output: one row per id with columns mh_0 … mh_{n-1}. */
+  def minhash(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s")
+    }
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banded near-dup detection.
+    * Bands of `rowsPerBand` signature slots; docs sharing any full band
+    * signature become candidates; candidates are verified with exact
+    * shingle Jaccard ≥ threshold.
+    */
+  def minhashLsh(df: DataFrame, id: String, text: String, n: Int = 3,
+                 numHashes: Int = 12, rowsPerBand: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, id, text, n).cache()
+    val mh = minhash(sh, id, numHashes)
+    val nBands = numHashes / rowsPerBand
+    // band signature = the band's minhash slots joined in seed order;
+    // stack() melts the wide row into (band, sig) rows for the bucket join.
+    val sigCols = (0 until nBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"mh_$s"))
+      concat_ws("|", slots: _*).as(s"__sig$b")
+    }
+    val stacked = mh.select(col(id) +: sigCols: _*)
+      .select(col(id), expr(s"stack($nBands, " +
+        (0 until nBands).map(b => s"$b, __sig$b").mkString(", ") +
+        ") as (band, sig)"))
+    val bandSig = stacked.select(col(id), col("band"), col("sig"))
+    val cand = bandSig.select(col(id).as("id_a"), col("band"), col("sig"))
+      .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(id).as("id_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("shingle"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint over distinct tokens, `bits` ≤ 32.
+    * Token hash = first 8 md5 hex chars as uint32; each bit votes ±1;
+    * fingerprint bit = majority (sum > 0). All bit votes are parallel
+    * aggregate columns in ONE groupBy pass (map-side partial sums) — no
+    * bits× row explosion. Returns (id, simhash: long). */
+  def simhash(df: DataFrame, id: String, text: String, bits: Int = 16): DataFrame = {
+    val toks = tokens(df, id, text).select(col(id), col("token")).distinct()
+      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+    val voteAggs = (0 until bits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1L, 1).otherwise(-1)).as(s"__v$b")
+    }
+    val voted = toks.groupBy(col(id)).agg(voteAggs.head, voteAggs.tail: _*)
+    val fp = (0 until bits)
+      .map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    voted.select(col(id), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
+    * Candidate generation is the pigeonhole banding used at scale: split
+    * the fingerprint into maxDist+1 bit segments — any pair within maxDist
+    * must agree exactly on ≥1 segment — and equi-join on (segment, value).
+    * No cartesian product anywhere. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   bits: Int = 16, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(df, id, text, bits).cache()
+    val nSeg = maxDist + 1
+    val segBits = bits / nSeg
+    require(segBits > 0, "bits must exceed maxDist")
+    val segs = sh.sparkSession.range(nSeg).select(col("id").as("seg"))
+    val banded = sh.crossJoin(broadcast(segs))
+      .withColumn("seg_val",
+        expr(s"shiftright(simhash, cast(seg * $segBits as int)) % ${1L << segBits}"))
+    val cand = banded.select(col(id).as("id_a"), col("seg"), col("seg_val"))
+      .join(banded.select(col(id).as("id_b"), col("seg"), col("seg_val")),
+        Seq("seg", "seg_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col(id).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the payload of the most
+  * recent right row with `right.ts <= left.ts` within the same key group —
+  * the reference's central time join
+  * (`/root/reference/python/framework/signal_data/signal_data_provider.py:41-60`,
+  * a per-tick `bisect_right - 1` over the signal snapshot list).
+  *
+  * Implementation is the scalable union+window idiom (SURVEY §2.3 J1):
+  * tag both sides, union, and take `last(payload, ignoreNulls)` over a
+  * window ordered by (ts, side) where the right side sorts BEFORE the left
+  * at equal timestamps (<= semantics: a signal stamped exactly at the tick
+  * time is visible to that tick). One shuffle + one sort on (keys, ts);
+  * no per-row lookup, no broadcast requirement on either side — this is
+  * the 100 TB-safe default. If one key dominates (skew), salt the key by
+  * coarse time range and repair at range boundaries.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (e.g. ticks)
+    * @param right     build side (e.g. signals)
+    * @param keys      equi-join key column names (present on both sides)
+    * @param leftTs    event-time column name on `left`
+    * @param rightTs   event-time column name on `right`
+    * @param payload   right-side columns to carry (renamed as-is onto left rows)
+    * @return `left.*` plus `payload` columns (null when no right row at/before)
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // Right side: only keys + ts + payload survive into the union.
+    val rTagged = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++ payload.map(col): _*)
+      .withColumn("__side", lit(0))
+    // Left side: full row, payload columns nulled.
+    val lTagged = payload.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      case (df, p) => df.withColumn(p, lit(null).cast(rTagged.schema(p).dataType))
+    }
+    val unioned = lTagged.select(
+      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
+        payload.map(col) ++ leftCols.filterNot(c => keys.contains(c)).map(col): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { case (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+}

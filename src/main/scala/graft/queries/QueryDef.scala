@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One correctness-gated query: a Spark implementation plus (optionally)
+  * the equivalent SQL the driver runs in DuckDB over the same parquet
+  * tables. Conventions that make the hash-compare deterministic:
+  *   - every computed column is aliased identically on both sides;
+  *   - every float aggregate is `round(...)`ed identically on both sides
+  *     (absorbs summation-order ULP differences between engines);
+  *   - every result carries a total-order `ORDER BY` on both sides;
+  *   - `first`/`last` semantics are always resolved via `row_number` over a
+  *     unique (ts, id) ordering — never engine-dependent aggregates.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    description: String)
+
+trait QueryPack {
+  def queries: Seq[(String, QueryDef)]
+}

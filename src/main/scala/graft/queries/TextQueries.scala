@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextMetrics
+
+/** Training-data pipeline operators over `documents`: text quality metrics,
+  * language ID, fingerprinting, and the dedup family (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash). All hashes are md5-derived so the
+  * DuckDB oracle reproduces them exactly.
+  */
+object TextQueries extends QueryPack {
+
+  /** DuckDB CTEs for word tokens and distinct 3-gram shingles. */
+  private val ShingleCte =
+    """toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS tok FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok, 2) OVER w IS NOT NULL)""".stripMargin
+
+  private val JaccardVerifySql =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  override def queries: Seq[(String, QueryDef)] = Seq(
+
+    "q25_text_metrics" -> QueryDef(
+      (s, dir) => TextMetrics.metrics(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          length(text)::BIGINT AS n_chars,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_tokens,
+          round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                / len(string_split(text, ' ')), 4) AS avg_token_len,
+          round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')), 4) AS type_token_ratio,
+          (len(list_filter(string_split(text, ' '), t -> t = 'the'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'is')))::BIGINT AS stopword_hits,
+          round((len(list_filter(string_split(text, ' '), t -> t = 'the'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'a'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+           + len(list_filter(string_split(text, ' '), t -> t = 'is')))::DOUBLE
+                / len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents ORDER BY doc_id"""),
+      "Token counting + quality metrics, no UDFs (north-star text analysis)"),
+
+    "q26_dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("digest")),
+      Some("""SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+          count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY digest"""),
+      "Exact dedup via content-hash groupBy (north-star dedup)"),
+
+    "q27_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $ShingleCte,
+        $JaccardVerifySql
+        SELECT id_a, id_b,
+          round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM common JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.8
+        ORDER BY id_a, id_b"""),
+      "n-gram Jaccard near-dup pairs via shingle inverted index"),
+
+    "q28_minhash_lsh" -> QueryDef(
+      (s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $ShingleCte,
+        seeds AS (SELECT range AS seed FROM range(12)),
+        mh AS (
+          SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS mh
+          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, seed // 3 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+          FROM mh GROUP BY doc_id, seed // 3),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        $JaccardVerifySql
+        SELECT c.id_a, c.id_b,
+          round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM cand c JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.8
+        ORDER BY c.id_a, c.id_b"""),
+      "MinHash+LSH banded near-dup with exact-Jaccard verification"),
+
+    "q29_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 32)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        bits AS (SELECT range AS bit FROM range(32)),
+        votes AS (
+          SELECT doc_id, bit,
+            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          FROM h CROSS JOIN bits GROUP BY doc_id, bit)
+        SELECT doc_id,
+          sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id"""),
+      "SimHash 32-bit fingerprint from md5 token hashes"),
+
+    "q30_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          bits = 32, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        bits AS (SELECT range AS bit FROM range(32)),
+        votes AS (
+          SELECT doc_id, bit,
+            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          FROM h CROSS JOIN bits GROUP BY doc_id, bit),
+        fp AS (
+          SELECT doc_id,
+            sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc_id),
+        segs AS (SELECT range AS seg FROM range(4)),
+        banded AS (
+          SELECT doc_id, simhash, seg, (simhash >> (seg * 8)::INT) % 256 AS seg_val
+          FROM fp CROSS JOIN segs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+        FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+        ORDER BY id_a, id_b"""),
+      "SimHash near-dup pairs via pigeonhole segment banding"),
+
+    "q31_langid" -> QueryDef(
+      (s, dir) => TextMetrics.languageId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some {
+        val score = TextMetrics.LangMarkers.map { case (lang, words) =>
+          val expr = words
+            .map(w => s"len(list_filter(string_split(text, ' '), t -> t = '$w'))")
+            .mkString(" + ")
+          s"($expr)::BIGINT AS s_$lang"
+        }.mkString(", ")
+        val langs = TextMetrics.LangMarkers.map(_._1)
+        val m = "greatest(" + langs.map("s_" + _).mkString(", ") + ")"
+        val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+        s"""WITH scored AS (SELECT doc_id, $score FROM documents),
+           m AS (SELECT *, $m AS m FROM scored)
+           SELECT doc_id,
+             CASE WHEN m = 0 THEN 'und' $pick END AS predicted_lang,
+             m AS marker_hits
+           FROM m ORDER BY doc_id"""
+      },
+      "Stopword-marker language ID heuristic (north-star text analysis)"),
+
+    "q32_fingerprint" -> QueryDef(
+      (s, dir) => TextMetrics.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS text_md5,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+            AS bow_md5
+        FROM documents ORDER BY doc_id"""),
+      "Content + bag-of-words document fingerprints")
+  )
+}

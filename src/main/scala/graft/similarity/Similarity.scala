@@ -1,0 +1,141 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), for training-data pipelines.
+  *
+  * - `cosineTopK` — exact top-k. The build side (all vectors) is
+  *   broadcast, the probe side streams through `mapPartitions` with a
+  *   tight double-precision loop and a bounded top-k buffer — the kNN
+  *   analogue of a broadcast hash join. No shuffle of vector payloads;
+  *   probe side scales out arbitrarily, build side must fit in executor
+  *   memory (same contract as any broadcast join). At 100 TB the build
+  *   side is blocked into broadcast-sized chunks and results merged by
+  *   another top-k — or use `lshCosineTopK`.
+  * - `lshCosineTopK` — random-hyperplane LSH with multi-table banding
+  *   (L tables × k sign bits): same-bucket pairs only, recall
+  *   1-(1-p^k)^L. Candidate generation is a shuffle on bucket ids of
+  *   (bucket, id) pairs — vectors themselves never shuffle.
+  *
+  * Hyperplanes are seeded from md5, so bucketing is deterministic across
+  * runs and machines.
+  */
+object Similarity {
+
+  private case class Vec(id: Long, v: Array[Double], norm: Double)
+
+  private def toVecs(df: DataFrame, id: String, vec: String): Dataset[Vec] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long").as("id"), col(vec).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (i, s) =>
+        val a = new Array[Double](s.length)
+        var j = 0; var sq = 0.0
+        while (j < s.length) { a(j) = s(j).toDouble; sq += a(j) * a(j); j += 1 }
+        Vec(i, a, math.sqrt(sq))
+      }
+  }
+
+  private def cosine(a: Vec, b: Vec): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.v.length) { s += a.v(j) * b.v(j); j += 1 }
+    s / (a.norm * b.norm)
+  }
+
+  /** Exact brute-force cosine top-k neighbors per vector.
+    * Deterministic: ties broken by neighbor id ascending. */
+  def cosineTopK(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+    // Build side: same contract as a broadcast join build (must fit in mem).
+    val build = spark.sparkContext.broadcast(vecs.collect())
+    val topk = vecs.mapPartitions { it =>
+      val all = build.value
+      it.flatMap { a =>
+        val cands = new Array[(Long, Double)](all.length)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          val b = all(i)
+          if (b.id != a.id) { cands(n) = (b.id, cosine(a, b)); n += 1 }
+          i += 1
+        }
+        val sorted = java.util.Arrays.copyOf(
+          cands.asInstanceOf[Array[AnyRef]], n).asInstanceOf[Array[(Long, Double)]]
+          .sortBy { case (bid, c) => (-c, bid) }
+        (0 until math.min(k, n)).map(r => (a.id, sorted(r)._1, r + 1, sorted(r)._2))
+      }
+    }.toDF("id_a", "id_b", "rank", "cosine")
+    topk.withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** Deterministic hyperplane component for (plane, dim) in [-1, 1):
+    * first 8 md5 hex chars of "plane:dim" as uint32, rescaled. Matches the
+    * md5-seeded convention used across the dedup/similarity operators. */
+  private[similarity] def planeComponent(plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u.toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Sign-bit signature of `v` for table `t` with `planes` bits. */
+  private def signature(v: Array[Double], t: Int, planes: Int): String = {
+    val sb = new StringBuilder(planes + 4)
+    sb.append(t).append(':')
+    var p = 0
+    while (p < planes) {
+      val plane = t * planes + p
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * planeComponent(plane, j); j += 1 }
+      sb.append(if (s >= 0) '1' else '0')
+      p += 1
+    }
+    sb.toString
+  }
+
+  /** ANN top-k via multi-table random-hyperplane LSH.
+    * Recall < 1 by construction: only pairs sharing a full signature in
+    * ≥1 of the `tables` tables are compared. */
+  def lshCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
+                    planes: Int = 4, tables: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+    val build = spark.sparkContext.broadcast(
+      vecs.collect().map(v => v.id -> v).toMap)
+    val buckets = vecs.flatMap(a =>
+      (0 until tables).map(t => (signature(a.v, t, planes), a.id)))
+    val pairs = buckets.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._2).toArray
+        scala.util.Sorting.quickSort(ids)
+        for (i <- ids.indices.iterator; j <- ids.indices.iterator if i != j)
+          yield (ids(i), ids(j))
+      }
+      .distinct()
+    val scored = pairs.mapPartitions { it =>
+      val m = build.value
+      it.map { case (ia, ib) => (ia, ib, cosine(m(ia), m(ib))) }
+    }.toDF("id_a", "id_b", "cosine")
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Per-label centroids: positional mean of embeddings (posexplode +
+    * groupBy — fully distributed, no collect). pos is 1-based. */
+  def labelCentroids(df: DataFrame, label: String, vec: String): DataFrame =
+    df.select(col(label).as("label"), posexplode(col(vec)).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
+}

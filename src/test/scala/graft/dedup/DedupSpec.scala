@@ -1,0 +1,61 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words here nothing shared at all today"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, canonical = min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 3)
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupGroup.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("shingles produce distinct n-grams") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" === 1), "doc_id", "text", 3)
+      .collect().map(_.getAs[String]("shingle")).toSet
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("over the lazy"))
+    assert(sh.size === 7) // 9 tokens -> 7 trigrams, all distinct here
+  }
+
+  test("ngram jaccard finds the planted near-dup and the exact dup") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2))
+    // (1,4) exact -> jaccard 1.0; (1,2)/(2,4) share 6 of 8 union trigrams
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3
+    assert(j14 === 1.0)
+    val j12 = pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(math.abs(j12 - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("minhash LSH surfaces exact dup as candidate with jaccard 1.0") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 12, 3, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 4L))) // identical docs always share every band
+  }
+
+  test("simhash: identical docs get identical fingerprints; disjoint docs differ") {
+    val fp = Dedup.simhash(docs, "doc_id", "text", 32).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("simhash pairs finds identical pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 32, 3).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Number]("hamming").longValue())).toMap
+    assert(pairs.get((1L, 4L)).contains(0L))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("backward as-of: most recent right row at/before left ts, nulls before first") {
+    val ticks = Seq(
+      ("X", 5L, 1), ("X", 10L, 2), ("X", 20L, 3), ("Y", 10L, 4))
+      .toDF("sym", "ts", "tick_id")
+    val signals = Seq(
+      ("X", 10L, "s1"), ("X", 15L, "s2"), ("Z", 1L, "s3"))
+      .toDF("sym", "ts", "sig")
+    val out = AsOfJoin.backward(ticks, signals, Seq("sym"), "ts", "ts", Seq("sig"))
+      .orderBy("tick_id").collect()
+    assert(out(0).getAs[String]("sig") === null) // t=5 before any signal
+    assert(out(1).getAs[String]("sig") === "s1") // t=10: signal at 10 visible (<=)
+    assert(out(2).getAs[String]("sig") === "s2") // t=20: latest is 15
+    assert(out(3).getAs[String]("sig") === null) // key Y has no signals
+    assert(out.length === 4)                     // left rows preserved exactly
+  }
+
+  test("as-of carries multiple payload columns and keeps left schema") {
+    val ticks = Seq(("X", 100L)).toDF("sym", "ts")
+    val signals = Seq(("X", 50L, 0.7, 42L)).toDF("sym", "ts", "score", "sid")
+    val out = AsOfJoin.backward(ticks, signals, Seq("sym"), "ts", "ts",
+      Seq("score", "sid")).collect()
+    assert(out.head.getAs[Double]("score") === 0.7)
+    assert(out.head.getAs[Long]("sid") === 42L)
+    assert(out.head.getAs[Long]("ts") === 100L)
+  }
+}

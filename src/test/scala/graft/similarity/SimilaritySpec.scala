@@ -1,0 +1,51 @@
+package graft.similarity
+
+import graft.SparkSpecBase
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f)),   // closest to 1
+    (3L, Seq(0.0f, 1.0f)),   // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f))   // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK: exact ranking by cosine, tie-broken by id") {
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", 3)
+      .filter($"id_a" === 1L).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id_b")).toSeq === Seq(2L, 3L, 4L))
+    assert(out(0).getAs[Double]("cosine") > 0.99)
+    assert(math.abs(out(1).getAs[Double]("cosine")) < 1e-9)
+    assert(out(2).getAs[Double]("cosine") === -1.0)
+  }
+
+  test("lshCosineTopK: identical-direction vectors always share a bucket") {
+    val out = Similarity.lshCosineTopK(vecs, "vec_id", "embedding", 3, planes = 4, tables = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // 1 and 2 point the same way -> same sign pattern on every hyperplane
+    assert(out.contains((1L, 2L)) && out.contains((2L, 1L)))
+  }
+
+  test("lsh recall vs brute force on real embeddings (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b")).toMap
+    val approx = Similarity.lshCosineTopK(emb, "vec_id", "embedding", 1, planes = 4, tables = 8)
+      .collect().map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b")).toMap
+    val hits = exact.count { case (a, b) => approx.get(a).contains(b) }
+    // 4 planes x 8 tables over 200 vectors: recall 1-(1-p^4)^8, well above 0.5
+    assert(hits.toDouble / exact.size > 0.5,
+      s"recall ${hits.toDouble / exact.size} too low")
+  }
+
+  test("labelCentroids: positional means per label") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos"), r.getAs[Double]("centroid")))
+    assert(out.toSeq === Seq((0, 1, 2.0), (0, 2, 4.0), (1, 1, 2.0), (1, 2, 2.0)))
+  }
+}
