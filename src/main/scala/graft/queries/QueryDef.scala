@@ -19,4 +19,14 @@ final case class QueryDef(
 
 trait QueryPack {
   def queries: Seq[(String, QueryDef)]
+
+  /** Spread a single-file input across cores before row-local heavy
+    * compute (md5/tokenize/hash). The testdata tables are one row group
+    * each, so the scan yields ONE partition and everything downstream of
+    * it that doesn't shuffle would run single-threaded. An explicit
+    * round-robin repartition survives AQE. At cluster scale the reader
+    * already supplies many partitions and this becomes a cheap no-op-ish
+    * rebalance of small rows. */
+  protected def balanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -33,7 +33,7 @@ object TextQueries extends QueryPack {
   override def queries: Seq[(String, QueryDef)] = Seq(
 
     "q25_text_metrics" -> QueryDef(
-      (s, dir) => TextMetrics.metrics(Tables.documents(s, dir), "doc_id", "text")
+      (s, dir) => TextMetrics.metrics(balanced(Tables.documents(s, dir)), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
           length(text)::BIGINT AS n_chars,
@@ -58,7 +58,7 @@ object TextQueries extends QueryPack {
       "Token counting + quality metrics, no UDFs (north-star text analysis)"),
 
     "q26_dedup_exact" -> QueryDef(
-      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      (s, dir) => Dedup.exact(balanced(Tables.documents(s, dir)), "doc_id", "text")
         .orderBy(col("digest")),
       Some("""SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
           count(*) AS dup_count
@@ -66,7 +66,7 @@ object TextQueries extends QueryPack {
       "Exact dedup via content-hash groupBy (north-star dedup)"),
 
     "q27_ngram_jaccard" -> QueryDef(
-      (s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.ngramJaccard(balanced(Tables.documents(s, dir)), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b")),
@@ -81,7 +81,7 @@ object TextQueries extends QueryPack {
       "n-gram Jaccard near-dup pairs via shingle inverted index"),
 
     "q28_minhash_lsh" -> QueryDef(
-      (s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.minhashLsh(balanced(Tables.documents(s, dir)), "doc_id", "text",
           n = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b")),
@@ -107,7 +107,7 @@ object TextQueries extends QueryPack {
       "MinHash+LSH banded near-dup with exact-Jaccard verification"),
 
     "q29_simhash" -> QueryDef(
-      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 32)
+      (s, dir) => Dedup.simhash(balanced(Tables.documents(s, dir)), "doc_id", "text", bits = 32)
         .orderBy(col("doc_id")),
       Some("""WITH toks AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -123,7 +123,7 @@ object TextQueries extends QueryPack {
       "SimHash 32-bit fingerprint from md5 token hashes"),
 
     "q30_simhash_pairs" -> QueryDef(
-      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.simhashPairs(balanced(Tables.documents(s, dir)), "doc_id", "text",
           bits = 32, maxDist = 3)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH toks AS (
@@ -153,7 +153,7 @@ object TextQueries extends QueryPack {
       "SimHash near-dup pairs via pigeonhole segment banding"),
 
     "q31_langid" -> QueryDef(
-      (s, dir) => TextMetrics.languageId(Tables.documents(s, dir), "doc_id", "text")
+      (s, dir) => TextMetrics.languageId(balanced(Tables.documents(s, dir)), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some {
         val score = TextMetrics.LangMarkers.map { case (lang, words) =>
@@ -175,7 +175,7 @@ object TextQueries extends QueryPack {
       "Stopword-marker language ID heuristic (north-star text analysis)"),
 
     "q32_fingerprint" -> QueryDef(
-      (s, dir) => TextMetrics.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      (s, dir) => TextMetrics.fingerprint(balanced(Tables.documents(s, dir)), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, md5(text) AS text_md5,
           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * Hyperplanes are seeded from md5, so bucketing is deterministic across
   * runs and machines.
   */
-object Similarity {
+/** Internal vector row for the similarity kernels (top-level: Spark
+  * codegen must be able to access the class from generated projections). */
+case class Vec(id: Long, v: Array[Double], norm: Double)
 
-  private case class Vec(id: Long, v: Array[Double], norm: Double)
+object Similarity {
 
   private def toVecs(df: DataFrame, id: String, vec: String): Dataset[Vec] = {
     val spark = df.sparkSession
@@ -51,24 +53,41 @@ object Similarity {
   def cosineTopK(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Probe side: single-file inputs arrive as one partition — spread the
+    // O(n·d) per-row work across cores (explicit repartition survives AQE).
     val vecs = toVecs(df, id, vec)
+      .repartition(spark.sparkContext.defaultParallelism)
     // Build side: same contract as a broadcast join build (must fit in mem).
     val build = spark.sparkContext.broadcast(vecs.collect())
     val topk = vecs.mapPartitions { it =>
       val all = build.value
       it.flatMap { a =>
-        val cands = new Array[(Long, Double)](all.length)
-        var n = 0
+        // bounded top-k insertion over primitive arrays — no boxing;
+        // order: cosine desc, then id asc on exact ties
+        val bIds = new Array[Long](k)
+        val bCos = new Array[Double](k)
+        var filled = 0
         var i = 0
         while (i < all.length) {
           val b = all(i)
-          if (b.id != a.id) { cands(n) = (b.id, cosine(a, b)); n += 1 }
+          if (b.id != a.id) {
+            val c = cosine(a, b)
+            var pos = filled
+            while (pos > 0 &&
+              (c > bCos(pos - 1) || (c == bCos(pos - 1) && b.id < bIds(pos - 1)))) {
+              pos -= 1
+            }
+            if (pos < k) {
+              val last = math.min(filled, k - 1)
+              var j = last
+              while (j > pos) { bIds(j) = bIds(j - 1); bCos(j) = bCos(j - 1); j -= 1 }
+              bIds(pos) = b.id; bCos(pos) = c
+              if (filled < k) filled += 1
+            }
+          }
           i += 1
         }
-        val sorted = java.util.Arrays.copyOf(
-          cands.asInstanceOf[Array[AnyRef]], n).asInstanceOf[Array[(Long, Double)]]
-          .sortBy { case (bid, c) => (-c, bid) }
-        (0 until math.min(k, n)).map(r => (a.id, sorted(r)._1, r + 1, sorted(r)._2))
+        (0 until filled).map(r => (a.id, bIds(r), r + 1, bCos(r)))
       }
     }.toDF("id_a", "id_b", "rank", "cosine")
     topk.withColumn("cosine", round(col("cosine"), 6))
@@ -108,6 +127,7 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = toVecs(df, id, vec)
+      .repartition(spark.sparkContext.defaultParallelism)
     val build = spark.sparkContext.broadcast(
       vecs.collect().map(v => v.id -> v).toMap)
     val buckets = vecs.flatMap(a =>

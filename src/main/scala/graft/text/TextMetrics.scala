@@ -48,28 +48,21 @@ object TextMetrics {
 
   /** Language ID: score each candidate language by marker-stopword hits,
     * pick the max (ties → lexicographically first language; all-zero →
-    * "und" undetermined). */
+    * "und" undetermined). The token array is materialized once; the winner
+    * is a greatest() + when-chain in LangMarkers order — the same CASE
+    * structure as the SQL oracle, and codegen-friendly. */
   def languageId(df: DataFrame, id: String, text: String): DataFrame = {
-    val scored = LangMarkers.map { case (lang, words) =>
-      val score = words.map(wordCount(col(text), _)).reduce(_ + _)
-      struct(score.as("score"), lit(lang).as("lang"))
+    val scoreCols = LangMarkers.map { case (lang, words) =>
+      words.map(w => size(filter(col("__toks"), t => t === lit(w))).cast("long"))
+        .reduce(_ + _).as(s"__s_$lang")
     }
-    // greatest(...) on struct orders by score then lang; we want ties to take
-    // the FIRST lang alphabetically, so invert: order by (score, reverse-lang)
-    // via array_max over structs with negated tiebreak is awkward — instead
-    // sort structs (score desc, lang asc) via array_sort comparator.
-    val arr = array(scored: _*)
-    val best = element_at(array_sort(arr,
-      (l, r) => when(l.getField("score") > r.getField("score"), -1)
-        .when(l.getField("score") < r.getField("score"), 1)
-        .when(l.getField("lang") < r.getField("lang"), -1)
-        .when(l.getField("lang") > r.getField("lang"), 1)
-        .otherwise(0)), 1)
-    df.select(
-      col(id),
-      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-        .as("predicted_lang"),
-      best.getField("score").as("marker_hits"))
+    val scored = df.withColumn("__toks", tokenArr(col(text)))
+      .select(col(id) +: scoreCols: _*)
+    val m = greatest(LangMarkers.map { case (lang, _) => col(s"__s_$lang") }: _*)
+    val pick = LangMarkers.foldLeft(when(m === 0L, "und")) {
+      case (acc, (lang, _)) => acc.when(col(s"__s_$lang") === m, lang)
+    }
+    scored.select(col(id), pick.as("predicted_lang"), m.as("marker_hits"))
   }
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct

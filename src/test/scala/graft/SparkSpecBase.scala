@@ -15,6 +15,9 @@ object SparkSpecBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // small shuffles here are compute-dense (md5/cosine); AQE would
+      // coalesce them to 1 partition and serialize the work
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
