@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(RelationalQueries, TimeseriesQueries, TextQueries, VectorQueries)
+    Seq(RelationalQueries, TimeseriesQueries, TextQueries, VectorQueries,
+      LedgerQueries)
 
   private lazy val registry: Seq[(String, QueryDef)] = packs.flatMap(_.queries)
 

@@ -1,0 +1,126 @@
+package graft.report
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Result-ledger aggregations (SURVEY §2.4 A7–A18): per-currency trade
+  * analytics, portfolio roll-ups whose ratios are recomputed from sums
+  * (never averaged — `/root/reference/python/framework/reporting/
+  * report_aggregators.py:6-9`), robustness distributions with WFE, sweep
+  * ranking with stable tie-breaks, and OFAT parameter sensitivity.
+  *
+  * All are plain groupBy/window plans over a trade/run ledger DataFrame —
+  * ledger schemas are the reference's (`TradeRecord`, `RunResultRow`).
+  */
+object Reports {
+
+  /** A7: per-currency trade analytics over a closed-trade ledger with
+    * columns (currency, net_pnl, r_multiple, mae, mfe, gross_profit,
+    * fees). Expectancy = mean R; win/loss splits by net_pnl sign. */
+  def tradeAnalytics(trades: DataFrame): DataFrame =
+    trades.groupBy(col("currency")).agg(
+      count(lit(1)).as("n_trades"),
+      avg(col("r_multiple")).as("expectancy_r"),
+      avg(when(col("net_pnl") > 0, col("r_multiple"))).as("avg_win_r"),
+      avg(when(col("net_pnl") < 0, col("r_multiple"))).as("avg_loss_r"),
+      avg(when(col("net_pnl") > 0, col("mae"))).as("avg_mae_winners"),
+      avg(when(col("net_pnl") < 0, col("mae"))).as("avg_mae_losers"),
+      avg(when(col("net_pnl") > 0, col("mfe"))).as("avg_mfe_winners"),
+      sum(col("gross_profit")).as("sum_gross"),
+      sum(col("net_pnl")).as("sum_net"),
+      sum(col("fees")).as("sum_fees"))
+
+  /** A9: portfolio roll-up per currency — ratios recomputed FROM SUMS:
+    * win_rate = wins/total, profit_factor = sum(profits)/|sum(losses)|.
+    * Worst drawdown attributed via max_by on magnitude. Ledger columns:
+    * (currency, scenario_name, net_pnl, max_drawdown). */
+  def portfolioRollup(trades: DataFrame): DataFrame =
+    trades.groupBy(col("currency")).agg(
+      count(lit(1)).as("n_trades"),
+      sum(when(col("net_pnl") > 0, 1L).otherwise(0L)).as("n_wins"),
+      sum(when(col("net_pnl") < 0, 1L).otherwise(0L)).as("n_losses"),
+      sum(when(col("net_pnl") > 0, col("net_pnl")).otherwise(0.0)).as("sum_profit"),
+      sum(when(col("net_pnl") < 0, col("net_pnl")).otherwise(0.0)).as("sum_loss"),
+      max_by(col("scenario_name"), abs(col("max_drawdown"))).as("worst_dd_scenario"),
+      max(abs(col("max_drawdown"))).as("worst_dd"))
+      .withColumn("win_rate",
+        col("n_wins").cast("double") / col("n_trades"))
+      .withColumn("profit_factor",
+        when(abs(col("sum_loss")) > 0, col("sum_profit") / abs(col("sum_loss"))))
+
+  /** A10 fragment: weighted-average latency = sum(avg·n)/sum(n) — never
+    * the average of averages. Input columns: (unit, avg_latency_ms,
+    * n_orders). */
+  def weightedLatency(units: DataFrame, keys: Seq[String]): DataFrame =
+    units.groupBy(keys.map(col): _*).agg(
+      (sum(col("avg_latency_ms") * col("n_orders")) / sum(col("n_orders")))
+        .as("weighted_avg_latency_ms"),
+      min(col("avg_latency_ms")).as("min_latency_ms"),
+      max(col("avg_latency_ms")).as("max_latency_ms"),
+      sum(col("n_orders")).as("n_orders"))
+
+  /** A13: robustness distribution over a per-window metric column:
+    * mean/median/population stddev/% profitable/best/worst/CoV.
+    * (`robustness_report_builder.py:109-130`). */
+  def robustnessStats(windows: DataFrame, keys: Seq[String],
+                      metric: String): DataFrame =
+    windows.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_windows"),
+      avg(col(metric)).as("mean"),
+      expr(s"percentile($metric, 0.5)").as("median"),
+      stddev_pop(col(metric)).as("stddev"),
+      (sum(when(col(metric) > 0, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("pct_profitable"),
+      max(col(metric)).as("best"),
+      min(col(metric)).as("worst"))
+      .withColumn("cov",
+        when(abs(col("mean")) > 0, col("stddev") / abs(col("mean"))))
+
+  /** A14: per-role aggregate + Walk-Forward Efficiency = OOS mean / IS
+    * mean, undefined (null) when IS mean ≤ 0
+    * (`robustness_report_builder.py:133-160`). Input: (keys…, role,
+    * metric); roles are IN_SAMPLE / OUT_OF_SAMPLE. */
+  def walkForwardEfficiency(windows: DataFrame, keys: Seq[String],
+                            metric: String): DataFrame = {
+    val perRole = windows.groupBy((keys.map(col) :+ col("role")): _*)
+      .agg(avg(col(metric)).as("mean_metric"),
+        count(lit(1)).as("n_windows"))
+    val is = perRole.filter(col("role") === "IN_SAMPLE")
+      .select((keys.map(col) :+ col("mean_metric").as("is_mean") :+
+        col("n_windows").as("n_is")): _*)
+    val oos = perRole.filter(col("role") === "OUT_OF_SAMPLE")
+      .select((keys.map(col) :+ col("mean_metric").as("oos_mean") :+
+        col("n_windows").as("n_oos")): _*)
+    is.join(oos, keys, "full_outer")
+      .withColumn("wfe",
+        when(col("is_mean") > 0, col("oos_mean") / col("is_mean")))
+  }
+
+  /** A16: sweep ranking — objective desc, stable tie-break run_id asc
+    * (`optimization_analysis.py:82-107`); only status == 'ok' rows rank
+    * (P8). Input: (sweep_id, run_id, status, objective…). */
+  def sweepRanking(ledger: DataFrame, objective: String): DataFrame = {
+    val w = Window.partitionBy(col("sweep_id"))
+      .orderBy(col(objective).desc, col("run_id").asc)
+    ledger.filter(col("status") === "ok")
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** A17: OFAT (one-factor-at-a-time) sensitivity — per swept parameter:
+    * mean objective per level, influence = max−min of the level means
+    * (`optimization_analysis.py:110-146`). `params` is a
+    * MapType(String,String) column of the run's swept values. */
+  def ofatSensitivity(ledger: DataFrame, params: String,
+                      objective: String): DataFrame = {
+    val exploded = ledger.filter(col("status") === "ok")
+      .select(col(objective), explode(col(params)).as(Seq("param", "level")))
+    val perLevel = exploded.groupBy(col("param"), col("level"))
+      .agg(avg(col(objective)).as("mean_objective"),
+        count(lit(1)).as("n_runs"))
+    perLevel.groupBy(col("param"))
+      .agg((max(col("mean_objective")) - min(col("mean_objective")))
+        .as("influence"),
+        countDistinct(col("level")).as("n_levels"))
+  }
+}
