@@ -98,6 +98,17 @@ object LedgerQueries extends QueryPack {
         SELECT param, round(max(mean_value) - min(mean_value), 6) AS influence,
           count(DISTINCT level) AS n_levels
         FROM lvl GROUP BY param ORDER BY param"""),
-      "OFAT sensitivity: influence = max-min of level means (SURVEY A17)")
+      "OFAT sensitivity: influence = max-min of level means (SURVEY A17)"),
+
+    // §3.1 phase 6: the sequential simulation kernel, replaying the
+    // reference's benchmark workload (40 scenarios, ~1.5M ticks,
+    // RSI+Bollinger strategy, seeded latency). Rows-only: the kernel is
+    // not SQL-expressible; correctness is covered by SimKernelSpec's
+    // exact-P&L scripted trades, determinism by byte-identical reruns.
+    "q40_tick_replay" -> QueryDef(
+      (s, _) => graft.sim.TickReplay.run(s)
+        .orderBy(col("scenarioId")),
+      None,
+      "Per-scenario simulation kernel: 1.5M-tick replay (SURVEY ST5/ST9/ST10)")
   )
 }

@@ -304,6 +304,64 @@ object TimeseriesQueries extends QueryPack {
           FROM ordered o JOIN ema e ON o.user_id = e.user_id AND o.rn = e.rn + 1)
         SELECT user_id, event_id, round(ema, 6) AS ema
         FROM ema ORDER BY user_id, event_id"""),
-      "Recursive EMA via per-key sequential scan kernel (SURVEY §4.1)")
+      "Recursive EMA via per-key sequential scan kernel (SURVEY §4.1)"),
+
+    // A3+A4: hourly volatility profiling -> regime classification vs the
+    // global mean -> regime distribution (the reference's volatility
+    // profile chain, volatility_profile_analyzer.py:449-624).
+    "q41_volatility_regimes" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(unix_millis(date_trunc("hour", col("ts_utc"))).as("bucket_ms"))
+          .agg(count(lit(1)).as("tick_count"),
+            (max(col("value")) - min(col("value"))).as("range_val"))
+          .filter(col("tick_count") > 0)
+        val g = hourly.agg(avg(col("range_val")).as("g_avg"))
+        hourly.crossJoin(broadcast(g))
+          .withColumn("ratio", col("range_val") / col("g_avg"))
+          .withColumn("regime",
+            when(col("ratio") < 0.3, "very_low")
+              .when(col("ratio") < 0.8, "low")
+              .when(col("ratio") < 1.2, "medium")
+              .when(col("ratio") < 2.0, "high")
+              .otherwise("very_high"))
+          .groupBy(col("regime"))
+          .agg(count(lit(1)).as("n_periods"),
+            sum(col("tick_count")).as("sum_ticks"),
+            round(avg(col("ratio")), 6).as("avg_ratio"))
+          .orderBy(col("regime"))
+      },
+      Some(s"""WITH $BaseCte,
+        hourly AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+            count(*) AS tick_count, max(value) - min(value) AS range_val
+          FROM base GROUP BY 1),
+        g AS (SELECT avg(range_val) AS g_avg FROM hourly),
+        r AS (SELECT h.*, range_val / g_avg AS ratio,
+          CASE WHEN range_val / g_avg < 0.3 THEN 'very_low'
+               WHEN range_val / g_avg < 0.8 THEN 'low'
+               WHEN range_val / g_avg < 1.2 THEN 'medium'
+               WHEN range_val / g_avg < 2.0 THEN 'high'
+               ELSE 'very_high' END AS regime
+          FROM hourly h, g)
+        SELECT regime, count(*) AS n_periods, sum(tick_count) AS sum_ticks,
+          round(avg(ratio), 6) AS avg_ratio
+        FROM r GROUP BY regime ORDER BY regime"""),
+      "Hourly profiling -> regime classify -> distribution (SURVEY A3/A4)"),
+
+    // W11: percentile rank of each period's activity within its user.
+    "q42_percentile_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("value_pct_rank", round(percent_rank().over(w), 6))
+          .select(col("user_id"), col("event_id"), col("value_pct_rank"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+          round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+            AS value_pct_rank
+        FROM events ORDER BY user_id, event_id"""),
+      "percent_rank within partition (SURVEY W11)")
   )
 }

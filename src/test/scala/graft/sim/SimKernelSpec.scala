@@ -1,0 +1,140 @@
+package graft.sim
+
+import graft.SparkSpecBase
+
+/** Scripted-trade white-box tests mirroring the reference's deterministic
+  * simulation suite (`tests/simulation/margin_validation/test_pnl_calculation.py`,
+  * `tests/data/tick_processing_budget/`): known tick scripts must produce
+  * exact P&L, exact excursion, exact clipping counts, and byte-identical
+  * reruns. */
+/** Top-level (no outer test-class reference — strategies must be
+  * serializable into tasks). Opens LONG 1 lot at a given tick index,
+  * closes at another. */
+private class Scripted(openIdx: Long, closeIdx: Long, sl: Double = 0, tp: Double = 0)
+    extends DecisionLogic {
+  def onTick(ctx: DecisionContext): Seq[Decision] =
+    if (ctx.tickIndex == openIdx) Seq(OpenMarket(Long_, 1.0, sl, tp))
+    else if (ctx.tickIndex == closeIdx && ctx.openPositions.nonEmpty)
+      Seq(ClosePosition(ctx.openPositions.head.positionId))
+    else Seq(Hold)
+}
+
+private class OpenEveryTick extends DecisionLogic {
+  def onTick(ctx: DecisionContext): Seq[Decision] = Seq(OpenMarket(Long_, 1.0))
+}
+
+private class LimitAtIdx1 extends DecisionLogic {
+  def onTick(ctx: DecisionContext): Seq[Decision] =
+    if (ctx.tickIndex == 1) Seq(OpenLimit(Long_, 1.0, 1.10020)) else Seq(Hold)
+}
+
+class SimKernelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val spec = SymbolSpec(digits = 5, tickValue = 1.0) // EURUSD-like
+  private def cfg = SimConfig(spec)
+
+  private def ticks(sid: String, rows: (Long, Double, Double)*): Seq[SimTick] =
+    rows.map { case (msc, bid, ask) => SimTick(sid, msc, msc, bid, ask) }
+
+  test("exact P&L: LONG entry at ask, exit at bid, points x tickValue x lots") {
+    val t = ticks("s1",
+      (1000L, 1.10000, 1.10010),
+      (2000L, 1.10020, 1.10030), // open here -> entry 1.10030 (ask)
+      (3000L, 1.10080, 1.10090),
+      (4000L, 1.10070, 1.10080)) // close here -> exit 1.10070 (bid)
+    val res = SimKernel.runScenarios(t.toDS(), cfg, new Scripted(1, 3))
+      .collect().head
+    assert(res.trades.length === 1)
+    val tr = res.trades.head
+    assert(math.abs(tr.entryPrice - 1.10030) < 1e-9)
+    assert(math.abs(tr.exitPrice - 1.10070) < 1e-9)
+    // priceDiff 0.00040 * 10^5 = 40 points * 1.0 * 1 lot = 40.0
+    assert(math.abs(tr.grossPnl - 40.0) < 1e-6)
+    assert(tr.closeReason === "decision_close")
+    assert(math.abs(res.stats.finalBalance - 10040.0) < 1e-6)
+  }
+
+  test("stop loss closes at the SL level with R-multiple -1") {
+    val t = ticks("s1",
+      (1000L, 1.10000, 1.10010),
+      (2000L, 1.10000, 1.10010), // open LONG at 1.10010, SL 1.09960 (risk 50 pts)
+      (3000L, 1.09980, 1.09990),
+      (4000L, 1.09950, 1.09960), // bid 1.09950 <= SL -> close at 1.09960
+      (5000L, 1.10100, 1.10110))
+    val res = SimKernel.runScenarios(t.toDS(), cfg,
+      new Scripted(1, 99, sl = 1.09960)).collect().head
+    val tr = res.trades.head
+    assert(tr.closeReason === "stop_loss")
+    assert(math.abs(tr.exitPrice - 1.09960) < 1e-9)
+    assert(math.abs(tr.grossPnl - (-50.0)) < 1e-6)
+    assert(math.abs(tr.initialRisk - 50.0) < 1e-6)
+    assert(math.abs(tr.rMultiple.get - (-1.0)) < 1e-9)
+  }
+
+  test("MAE/MFE track gross extremes with prices, seeded at entry") {
+    val t = ticks("s1",
+      (1000L, 1.10000, 1.10010),
+      (2000L, 1.10000, 1.10010), // open at 1.10010
+      (3000L, 1.09990, 1.10000), // dip: gross = (1.09990-1.10010)*1e5 = -20
+      (4000L, 1.10060, 1.10070), // peak: gross = +50
+      (5000L, 1.10030, 1.10040)) // close at bid 1.10030 -> +20
+    val res = SimKernel.runScenarios(t.toDS(), cfg, new Scripted(1, 4))
+      .collect().head
+    val tr = res.trades.head
+    assert(math.abs(tr.maePnl - (-20.0)) < 1e-6)
+    assert(math.abs(tr.maePrice - 1.09990) < 1e-9)
+    assert(math.abs(tr.mfePnl - 50.0) < 1e-6)
+    assert(math.abs(tr.mfePrice - 1.10060) < 1e-9)
+  }
+
+  test("virtual-clock clipping: clipped ticks skip the algo path but drive fills") {
+    // collected_msc 0,100,200,...; budget 250ms keeps 0, 300, 600, 900 (4 of 10)
+    val rows = (0 until 10).map(i =>
+      SimTick("s1", 1000L + i, i * 100L, 1.1, 1.1001))
+    val res = SimKernel.runScenarios(rows.toDS(),
+      cfg.copy(tickBudgetMs = 250.0), new OpenEveryTick).collect().head
+    assert(res.stats.ticksTotal === 10L)
+    assert(res.stats.ticksClipped === 6L)
+    // one open per NON-clipped tick only
+    assert(res.trades.length === 4)
+    assert(res.trades.forall(_.closeReason === "end_of_scenario"))
+  }
+
+  test("seeded latency defers market fills to the deadline tick, deterministically") {
+    val t = ticks("s1",
+      (1000L, 1.10000, 1.10010),
+      (1050L, 1.10020, 1.10030),
+      (1200L, 1.10040, 1.10050), // first tick past 1000+100 -> fills here
+      (2000L, 1.10060, 1.10070))
+    val c = cfg.copy(latencyMinMs = 100, latencyMaxMs = 100)
+    val r1 = SimKernel.runScenarios(t.toDS(), c, new Scripted(0, 3)).collect().head
+    val r2 = SimKernel.runScenarios(t.toDS(), c, new Scripted(0, 3)).collect().head
+    assert(r1.trades.head.entryTimeMsc === 1200L)
+    assert(math.abs(r1.trades.head.entryPrice - 1.10050) < 1e-9)
+    assert(r1 === r2) // byte-identical rerun (reference #368 determinism)
+  }
+
+  test("limit order fills at the limit price when ask reaches it") {
+    val t = ticks("s1",
+      (1000L, 1.10050, 1.10060),
+      (2000L, 1.10030, 1.10040), // place buy limit 1.10020 -> not reached
+      (3000L, 1.10005, 1.10015), // ask 1.10015 <= 1.10020 -> fill at limit
+      (4000L, 1.10100, 1.10110))
+    val res = SimKernel.runScenarios(t.toDS(), cfg, new LimitAtIdx1).collect().head
+    val tr = res.trades.head
+    assert(tr.entryTimeMsc === 3000L)
+    assert(math.abs(tr.entryPrice - 1.10020) < 1e-9)
+  }
+
+  test("multiple scenarios run independently and in parallel partitions") {
+    val a = ticks("a", (1L, 1.0, 1.1), (2L, 2.0, 2.1), (3L, 3.0, 3.1))
+    val b = ticks("b", (1L, 5.0, 5.1), (2L, 6.0, 6.1))
+    val res = SimKernel.runScenarios((a ++ b).toDS(), cfg, new Scripted(0, 1))
+      .collect().map(r => r.stats.scenarioId -> r).toMap
+    assert(res("a").stats.ticksTotal === 3L)
+    assert(res("b").stats.ticksTotal === 2L)
+    assert(res("a").trades.length === 1)
+    assert(res("b").trades.length === 1)
+  }
+}
