@@ -1,0 +1,80 @@
+package graft.sweep
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sim._
+
+/** Parameter-sweep orchestration (SURVEY §3.4, J8, A16–A18).
+  *
+  * - [[expandGrid]] — deterministic cartesian product of the parameter
+  *   grid (`/root/reference/python/framework/optimization/grid_expander.py:16-28`):
+  *   keys sorted, value order preserved, combination order reproducible.
+  * - [[runSweep]] — load-once/run-many: the tick Dataset is persisted
+  *   ONCE and every combination replays against the same cached
+  *   partitions — the Spark form of the reference's mount-identity reuse
+  *   (`batch_orchestrator.py:656-695`: data identity excludes strategy
+  *   params, so the mount is shared across the whole sweep).
+  *
+  * The sweep ledger feeds [[graft.report.Reports.sweepRanking]] (A16) and
+  * [[graft.report.Reports.ofatSensitivity]] (A17).
+  */
+object Sweep {
+
+  /** One sweep combination. runId is stable: zero-padded position in the
+    * deterministic expansion order. */
+  case class Combo(runId: String, params: Map[String, String])
+
+  def expandGrid(grid: Map[String, Seq[String]]): Seq[Combo] = {
+    val keys = grid.keys.toSeq.sorted
+    val combos = keys.foldLeft(Seq(Map.empty[String, String])) { (acc, k) =>
+      for (m <- acc; v <- grid(k)) yield m + (k -> v)
+    }
+    combos.zipWithIndex.map { case (m, i) => Combo(f"run_$i%04d", m) }
+  }
+
+  /** Sweep ledger row: per (combo, scenario) outcome. */
+  case class SweepRow(
+      sweepId: String, runId: String, status: String,
+      params: Map[String, String], scenarioId: String,
+      nTrades: Long, netPnl: Double, maxDrawdown: Double)
+
+  /** Run every combination against the same persisted tick data.
+    * `build` maps a combination to (config, strategy) — the reference's
+    * dotted-path parameter override collapses to ordinary function
+    * application here. */
+  def runSweep(sweepId: String, ticks: Dataset[SimTick],
+               grid: Map[String, Seq[String]],
+               build: Map[String, String] => (SimConfig, DecisionLogic)): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val cached = ticks.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = expandGrid(grid).map { combo =>
+        try {
+          val (cfg, logic) = build(combo.params)
+          val results = SimKernel.runScenarios(cached, cfg, logic).collect()
+          results.map { r =>
+            SweepRow(sweepId, combo.runId, "ok", combo.params,
+              r.stats.scenarioId, r.stats.nTrades,
+              r.stats.finalBalance - cfg.startBalance, r.stats.maxDrawdown)
+          }.toSeq
+        } catch {
+          case e: Exception =>
+            Seq(SweepRow(sweepId, combo.runId, s"error", combo.params, "",
+              0L, 0.0, 0.0))
+        }
+      }
+      spark.createDataset(rows.flatten).toDF()
+    } finally cached.unpersist()
+  }
+
+  /** Per-run objective roll-up of a sweep ledger (sum net P&L across the
+    * run's scenarios) — the input shape for Reports.sweepRanking. */
+  def ledgerObjectives(ledger: DataFrame): DataFrame =
+    ledger.groupBy(col("sweepId").as("sweep_id"), col("runId").as("run_id"),
+        col("status"), col("params"))
+      .agg(round(sum(col("netPnl")), 6).as("objective"),
+        sum(col("nTrades")).as("n_trades"),
+        max(col("maxDrawdown")).as("worst_drawdown"))
+}
