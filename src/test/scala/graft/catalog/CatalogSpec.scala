@@ -1,0 +1,51 @@
+package graft.catalog
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class CatalogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("coverage: per-file bounds, counts, sampled stats over real testdata") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val cov = Catalog.coverage(ev, Seq.empty, "ts_ms", statCols = Seq("value"))
+      .collect()
+    assert(cov.length === 1) // single parquet file
+    val r = cov.head
+    assert(r.getAs[Long]("n_rows") === 1000L)
+    assert(r.getAs[Long]("start_ms") < r.getAs[Long]("end_ms"))
+    assert(r.getAs[String]("file").contains("events.parquet"))
+    assert(r.getAs[Double]("avg_value") > 0)
+  }
+
+  test("availability: range containment verdict per key") {
+    val cov = Seq(("A", 100L, 200L, 10L), ("B", 150L, 400L, 20L))
+      .toDF("sym", "start_ms", "end_ms", "n_rows")
+    val out = Catalog.availability(cov, Seq("sym"), 120L, 180L)
+      .orderBy("sym").collect()
+    assert(out(0).getAs[Boolean]("available"))   // A covers 120-180
+    assert(!out(1).getAs[Boolean]("available"))  // B starts at 150
+  }
+
+  test("configFingerprint: order-insensitive, value-sensitive") {
+    val a = Catalog.configFingerprint(Map("x" -> "1", "y" -> "2"))
+    val b = Catalog.configFingerprint(Map("y" -> "2", "x" -> "1"))
+    val c = Catalog.configFingerprint(Map("x" -> "1", "y" -> "3"))
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("cachedDerived: recomputes only when the fingerprint changes") {
+    val dir = Files.createTempDirectory("graft_cache").toString + "/derived"
+    var computes = 0
+    def compute = { computes += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    val cfg1 = Map("param" -> "1")
+    Catalog.cachedDerived(spark, dir, cfg1)(compute)
+    Catalog.cachedDerived(spark, dir, cfg1)(compute) // hit -> no recompute
+    assert(computes === 1)
+    Catalog.cachedDerived(spark, dir, Map("param" -> "2"))(compute)
+    assert(computes === 2)
+    assert(spark.read.parquet(dir).count() === 2L)
+  }
+}
