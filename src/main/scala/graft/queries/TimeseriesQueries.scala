@@ -362,6 +362,32 @@ object TimeseriesQueries extends QueryPack {
           round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
             AS value_pct_rank
         FROM events ORDER BY user_id, event_id"""),
-      "percent_rank within partition (SURVEY W11)")
+      "percent_rank within partition (SURVEY W11)"),
+
+    // §4 stretch goal: recursive EMA as a native Catalyst
+    // AggregateWindowFunction — same oracle as q24, exercised through
+    // `ema(value, 0.2) OVER (PARTITION BY ... ORDER BY ...)` instead of
+    // the mapPartitions kernel. State lives in the window operator's
+    // aggregate buffer; the plan is Exchange+Sort+Window, nothing else.
+    "q43_ema_window_function" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+        Tables.events(s, dir)
+          .withColumn("ema", graft.functions.GraftFunctions.ema(col("value"), 0.2).over(w))
+          .select(col("user_id"), col("event_id"), round(col("ema"), 6).as("ema"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH RECURSIVE ordered AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS rn
+          FROM events),
+        ema AS (
+          SELECT user_id, event_id, rn, value, value AS ema FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.event_id, o.rn, o.value, 0.2 * o.value + 0.8 * e.ema
+          FROM ordered o JOIN ema e ON o.user_id = e.user_id AND o.rn = e.rn + 1)
+        SELECT user_id, event_id, round(ema, 6) AS ema
+        FROM ema ORDER BY user_id, event_id"""),
+      "Custom Catalyst AggregateWindowFunction ema() (SURVEY §4 stretch)")
   )
 }
