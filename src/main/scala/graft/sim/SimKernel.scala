@@ -78,6 +78,15 @@ object SimKernel {
       val pendingLimit = mutable.ArrayBuffer.empty[PendingLimit]
       val trades = mutable.ArrayBuffer.empty[TradeRecord]
       val mids = new RingBuffer(config.midWindow)
+      // ST2: per-timeframe forming bar; closes fire exactly once, in
+      // timeframe order, on the first tick of a later bucket (the kernel
+      // is the single authority for closes — bar_renderer.py:114-233)
+      val tfs = config.barTimeframesMs.sorted.toArray
+      val forming = new Array[KernelBar](tfs.length)
+      // closes ACCUMULATE across clipped passes and drain when the algo
+      // path next runs, so no close event is ever lost (ST2 —
+      // market_data_types.py:113-133)
+      val pendingCloses = mutable.ArrayBuffer.empty[KernelBar]
 
       var nextPositionId = 1L
       var vclock = 0.0
@@ -177,7 +186,28 @@ object SimKernel {
         val dd = maxEquity - equity
         if (dd > maxDrawdown) maxDrawdown = dd
 
-        mids.add((t.bid + t.ask) / 2)
+        val mid = (t.bid + t.ask) / 2
+        mids.add(mid)
+
+        // incremental bar rendering on every tick (clipped ticks feed
+        // bars too — clipping only gates the algo path)
+        var tfIdx = 0
+        while (tfIdx < tfs.length) {
+          val tf = tfs(tfIdx)
+          val bs = t.timeMsc - t.timeMsc % tf
+          val cur = forming(tfIdx)
+          if (cur == null)
+            forming(tfIdx) = KernelBar(tf, bs, mid, mid, mid, mid, 1L)
+          else if (cur.barStartMs == bs)
+            forming(tfIdx) = cur.copy(high = math.max(cur.high, mid),
+              low = math.min(cur.low, mid), close = mid,
+              tickCount = cur.tickCount + 1)
+          else {
+            pendingCloses += cur // gap buckets emit nothing (ST3)
+            forming(tfIdx) = KernelBar(tf, bs, mid, mid, mid, mid, 1L)
+          }
+          tfIdx += 1
+        }
 
         // ---- (2) clipping gate (ST5) ----
         val clipped = config.tickBudgetMs > 0 && {
@@ -188,7 +218,11 @@ object SimKernel {
         if (clipped) ticksClipped += 1
         else {
           // ---- (3) algo path: decision logic ----
-          val ctx = new DecisionContext(t, ticksTotal - 1, open.toSeq, mids.snapshot)
+          val ctx = new DecisionContext(t, ticksTotal - 1, open.toSeq, mids.snapshot,
+            pendingCloses.toSeq,
+            tfs.indices.iterator.filter(forming(_) != null)
+              .map(i => tfs(i) -> forming(i)).toMap)
+          pendingCloses.clear()
           logic.onTick(ctx).foreach {
             case OpenMarket(dir, lots, sl, tp) =>
               val pid = nextPositionId; nextPositionId += 1

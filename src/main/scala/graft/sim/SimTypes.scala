@@ -33,13 +33,21 @@ case class OpenLimit(direction: Direction, lots: Double, limitPrice: Double,
 case class ClosePosition(positionId: Long) extends Decision
 case object Hold extends Decision
 
-/** Strategy context visible to the decision logic: open positions and a
-  * rolling window of recent mid prices (for in-kernel indicators). */
+/** One in-kernel bar (mid-price OHLC, tick_count = ticks seen). */
+case class KernelBar(timeframeMs: Long, barStartMs: Long, open: Double,
+                     high: Double, low: Double, close: Double, tickCount: Long)
+
+/** Strategy context visible to the decision logic: open positions, a
+  * rolling window of recent mid prices (for in-kernel indicators), the
+  * bars CLOSED by this tick (ST2 — each fires exactly once, in order),
+  * and the currently forming bar per timeframe. */
 final class DecisionContext(
     val tick: SimTick,
     val tickIndex: Long,
     val openPositions: Seq[OpenPosition],
-    val recentMids: IndexedSeq[Double])
+    val recentMids: IndexedSeq[Double],
+    val closedBars: Seq[KernelBar] = Seq.empty,
+    val formingBars: Map[Long, KernelBar] = Map.empty)
 
 /** The X5 plugin surface: deterministic, serializable strategy. */
 trait DecisionLogic extends Serializable {
@@ -111,7 +119,10 @@ case class SimConfig(
     latencyMaxMs: Long = 0L,
     latencySeed: Long = 42L,
     /** rolling mid window kept for DecisionContext.recentMids */
-    midWindow: Int = 32)
+    midWindow: Int = 32,
+    /** ST2: timeframes (ms) rendered incrementally inside the kernel;
+      * closed bars surface on DecisionContext.closedBars. */
+    barTimeframesMs: Seq[Long] = Seq.empty)
 
 /** Deterministic delay generator (concept of
   * `seeded_delay_generator.py:15-35`: seeded RNG, uniform inclusive
