@@ -87,7 +87,9 @@ object TickReplay {
       SymbolSpec(digits = 3, tickValue = 1.0), // JPY-quote style
       commissionPerLot = 2.5,
       tickBudgetMs = 0.0,
-      latencyMinMs = 20, latencyMaxMs = 120, latencySeed = 42L)
+      latencyMinMs = 20, latencyMaxMs = 120, latencySeed = 42L,
+      // reference workload renders bars on every tick (ST2)
+      barTimeframesMs = Seq(60000L, 300000L))
     SimKernel.runScenarios(syntheticTicks(spark, scenarios, totalTicks),
         cfg, new RsiBollingerTrend())
       .map(_.stats)
