@@ -66,16 +66,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for seed s, minhash = min(md5(s || '|' || shingle)).
-    * All `numHashes` signature slots are computed as parallel aggregate
-    * columns in ONE pass over the shingle rows (map-side partial min, one
-    * shuffle of id × numHashes small strings) — no row explosion.
-    * Output: one row per id with columns mh_0 … mh_{n-1}. */
+  /** Mersenne prime 2^31-1: universal-hash modulus for the minhash family.
+    * Operands stay < 2^31 so products stay < 2^62 — no 64-bit overflow in
+    * either engine (Spark 4 ANSI mode and DuckDB both *throw* on BIGINT
+    * overflow rather than wrapping, so wrap-around mixing is not portable). */
+  val MinhashP = 2147483647L
+
+  /** Deterministic (a, b) constants per seed for the universal hash family
+    * h_s(x) = (a_s·x + b_s) mod P — derived from a fixed LCG so the Spark
+    * side and the DuckDB oracle inline identical literals. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+    var x = 0x5DEECE66DL
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33) % (MinhashP - 1) }
+    (0 until numHashes).map(_ => (next() + 1, next()))
+  }
+
+  /** MinHash signatures: shingle → ONE md5 → 32-bit int h, then slot s =
+    * min((a_s·h + b_s) mod P) over the doc's shingles. All `numHashes`
+    * slots are parallel aggregate columns in ONE pass (map-side partial
+    * min, one shuffle of id × numHashes longs) — no row explosion, and the
+    * expensive hash (md5) runs once per shingle instead of once per
+    * (seed × shingle). Output: one row per id, columns mh_0 … mh_{n-1}. */
   def minhash(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s")
+    val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+      .cast("long") % MinhashP
+    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      min((col("__h") * a + b) % MinhashP).as(s"mh_$s")
     }
-    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    sh.withColumn("__h", h).groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banded near-dup detection.
@@ -92,7 +111,8 @@ object Dedup {
     // band signature = the band's minhash slots joined in seed order;
     // stack() melts the wide row into (band, sig) rows for the bucket join.
     val sigCols = (0 until nBands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"mh_$s"))
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"mh_$s").cast("string"))
       concat_ws("|", slots: _*).as(s"__sig$b")
     }
     val stacked = mh.select(col(id) +: sigCols: _*)

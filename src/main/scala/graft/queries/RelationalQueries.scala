@@ -121,34 +121,31 @@ object RelationalQueries extends QueryPack {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       "Fact join + shuffled agg + countDistinct (SURVEY A18 family)"),
 
-    // J5-style semi/anti joins.
+    // J5-style semi/anti semantics in ONE shuffle: left-join the distinct
+    // order-custkey set and count conditionally — same answer as separate
+    // left_semi + left_anti + total aggregations at a third of the plan.
+    // (The left_anti operator itself is exercised by TickIngest.dedup.)
     "q05_semi_anti" -> QueryDef(
       (s, dir) => {
         val cust = Tables.customer(s, dir)
         val nat = broadcast(Tables.nation(s, dir))
-        val orderCust = Tables.orders(s, dir).select(col("o_custkey"))
-        val withO = cust.join(orderCust, col("c_custkey") === col("o_custkey"), "left_semi")
-          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
-        val withoutO = cust.join(orderCust, col("c_custkey") === col("o_custkey"), "left_anti")
-          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
-        val total = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
-        total
-          .join(withO, Seq("c_nationkey"), "left")
-          .join(withoutO, Seq("c_nationkey"), "left")
+        val orderCust = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        cust.join(orderCust, col("c_custkey") === col("o_custkey"), "left")
           .join(nat, col("c_nationkey") === col("n_nationkey"))
-          .select(col("n_name"), col("n_customers"),
-            coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
-            coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name, count(*) AS n_customers,
         sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-                 THEN 1 ELSE 0 END) AS n_with_orders,
+                 THEN 1 ELSE 0 END)::BIGINT AS n_with_orders,
         sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-                 THEN 1 ELSE 0 END) AS n_without_orders
+                 THEN 1 ELSE 0 END)::BIGINT AS n_without_orders
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name"""),
-      "left_semi / left_anti joins (SURVEY J5 duplicate anti-join family)"),
+      "Semi/anti-join counts in one shuffle (SURVEY J5 family)"),
 
     // O6/W5: top-N per partition.
     "q06_top_orders" -> QueryDef(
@@ -319,7 +316,7 @@ object RelationalQueries extends QueryPack {
           .orderBy(col("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority,
-        sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS n_within_30d,
+        sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END)::BIGINT AS n_within_30d,
         count(*) AS n_lines,
         round(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END)::DOUBLE
               / count(*), 6) AS within_ratio

@@ -86,12 +86,19 @@ object TextQueries extends QueryPack {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $ShingleCte,
-        seeds AS (SELECT range AS seed FROM range(12)),
+        seeds AS (SELECT * FROM (VALUES ${Dedup.minhashParams(12).zipWithIndex
+          .map { case ((a, b), s) => s"($s, ${a}::BIGINT, ${b}::BIGINT)" }
+          .mkString(", ")}) AS t(seed, a, b)),
+        hs AS (
+          SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT
+                 % ${Dedup.MinhashP} AS h
+          FROM sh),
         mh AS (
-          SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS mh
-          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+          SELECT doc_id, seed, min((h * a + b) % ${Dedup.MinhashP}) AS mh
+          FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
         bands AS (
-          SELECT doc_id, seed // 3 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+          SELECT doc_id, seed // 3 AS band,
+                 string_agg(mh::VARCHAR, '|' ORDER BY seed) AS sig
           FROM mh GROUP BY doc_id, seed // 3),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -118,7 +125,7 @@ object TextQueries extends QueryPack {
             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
           FROM h CROSS JOIN bits GROUP BY doc_id, bit)
         SELECT doc_id,
-          sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+          sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id"""),
       "SimHash 32-bit fingerprint from md5 token hashes"),
 

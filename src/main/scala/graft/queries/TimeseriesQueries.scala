@@ -279,7 +279,7 @@ object TimeseriesQueries extends QueryPack {
         d AS (SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts_ns) AS prev FROM base),
         p AS (SELECT *, CASE WHEN prev IS NOT NULL AND prev <> 0
                              THEN abs(value / prev - 1.0) END AS pct FROM d)
-        SELECT user_id, sum(CASE WHEN pct > 5.0 THEN 1 ELSE 0 END) AS n_outliers,
+        SELECT user_id, sum(CASE WHEN pct > 5.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
           round(max(pct), 4) AS max_pct
         FROM p GROUP BY user_id HAVING sum(CASE WHEN pct > 5.0 THEN 1 ELSE 0 END) > 0
         ORDER BY user_id"""),
@@ -344,7 +344,7 @@ object TimeseriesQueries extends QueryPack {
                WHEN range_val / g_avg < 2.0 THEN 'high'
                ELSE 'very_high' END AS regime
           FROM hourly h, g)
-        SELECT regime, count(*) AS n_periods, sum(tick_count) AS sum_ticks,
+        SELECT regime, count(*) AS n_periods, sum(tick_count)::BIGINT AS sum_ticks,
           round(avg(ratio), 6) AS avg_ratio
         FROM r GROUP BY regime ORDER BY regime"""),
       "Hourly profiling -> regime classify -> distribution (SURVEY A3/A4)"),

@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`), for training-data pipelines.
   *
-  * - `cosineTopK` — exact top-k. The build side (all vectors) is
-  *   broadcast, the probe side streams through `mapPartitions` with a
-  *   tight double-precision loop and a bounded top-k buffer — the kNN
-  *   analogue of a broadcast hash join. No shuffle of vector payloads;
-  *   probe side scales out arbitrarily, build side must fit in executor
-  *   memory (same contract as any broadcast join). At 100 TB the build
-  *   side is blocked into broadcast-sized chunks and results merged by
-  *   another top-k — or use `lshCosineTopK`.
+  * - `cosineTopK` — exact top-k, broadcast-build fast path. The build
+  *   side (all vectors) is broadcast, the probe side streams through
+  *   `mapPartitions` with a tight double-precision loop and a bounded
+  *   top-k buffer — the kNN analogue of a broadcast hash join. Build
+  *   side must fit in executor memory (same contract as any broadcast
+  *   join); use `cosineTopKBlocked` when it doesn't.
+  * - `cosineTopKBlocked` — exact top-k with no collect/broadcast:
+  *   block nested-loop over a (probeBlocks × buildBlocks) grid, partial
+  *   top-k per cell, k-bounded merge. Bit-identical to `cosineTopK`.
   * - `lshCosineTopK` — random-hyperplane LSH with multi-table banding
   *   (L tables × k sign bits): same-bucket pairs only, recall
   *   1-(1-p^k)^L. Candidate generation is a shuffle on bucket ids of
-  *   (bucket, id) pairs — vectors themselves never shuffle.
+  *   (bucket, id) pairs; scoring joins candidates back to the
+  *   distributed vector table — vectors never sit on the driver.
   *
   * Hyperplanes are seeded from md5, so bucketing is deterministic across
   * runs and machines.
@@ -48,6 +50,37 @@ object Similarity {
     s / (a.norm * b.norm)
   }
 
+  /** Bounded top-k of `a` against `arr` (cosine desc, id asc on ties).
+    * Primitive-array insertion sort — no boxing, no allocation per probe
+    * beyond the two k-sized buffers. Emits (a.id, b.id, unrounded cosine)
+    * without ranks: ranks are assigned after any cross-block merge. */
+  private def topkAgainst(a: Vec, arr: Array[Vec], k: Int): Iterator[(Long, Long, Double)] = {
+    val bIds = new Array[Long](k)
+    val bCos = new Array[Double](k)
+    var filled = 0
+    var i = 0
+    while (i < arr.length) {
+      val b = arr(i)
+      if (b.id != a.id) {
+        val c = cosine(a, b)
+        var pos = filled
+        while (pos > 0 &&
+          (c > bCos(pos - 1) || (c == bCos(pos - 1) && b.id < bIds(pos - 1)))) {
+          pos -= 1
+        }
+        if (pos < k) {
+          val last = math.min(filled, k - 1)
+          var j = last
+          while (j > pos) { bIds(j) = bIds(j - 1); bCos(j) = bCos(j - 1); j -= 1 }
+          bIds(pos) = b.id; bCos(pos) = c
+          if (filled < k) filled += 1
+        }
+      }
+      i += 1
+    }
+    (0 until filled).iterator.map(r => (a.id, bIds(r), bCos(r)))
+  }
+
   /** Exact brute-force cosine top-k neighbors per vector.
     * Deterministic: ties broken by neighbor id ascending. */
   def cosineTopK(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
@@ -62,35 +95,56 @@ object Similarity {
     val topk = vecs.mapPartitions { it =>
       val all = build.value
       it.flatMap { a =>
-        // bounded top-k insertion over primitive arrays — no boxing;
-        // order: cosine desc, then id asc on exact ties
-        val bIds = new Array[Long](k)
-        val bCos = new Array[Double](k)
-        var filled = 0
-        var i = 0
-        while (i < all.length) {
-          val b = all(i)
-          if (b.id != a.id) {
-            val c = cosine(a, b)
-            var pos = filled
-            while (pos > 0 &&
-              (c > bCos(pos - 1) || (c == bCos(pos - 1) && b.id < bIds(pos - 1)))) {
-              pos -= 1
-            }
-            if (pos < k) {
-              val last = math.min(filled, k - 1)
-              var j = last
-              while (j > pos) { bIds(j) = bIds(j - 1); bCos(j) = bCos(j - 1); j -= 1 }
-              bIds(pos) = b.id; bCos(pos) = c
-              if (filled < k) filled += 1
-            }
-          }
-          i += 1
+        topkAgainst(a, all, k).zipWithIndex.map {
+          case ((ia, ib, c), r) => (ia, ib, r + 1, c)
         }
-        (0 until filled).map(r => (a.id, bIds(r), r + 1, bCos(r)))
       }
     }.toDF("id_a", "id_b", "rank", "cosine")
     topk.withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** Exact cosine top-k with NO driver-side collect and NO broadcast —
+    * the 100 TB shape of `cosineTopK`. Block nested-loop kNN:
+    *
+    *   - probe rows are replicated to `buildBlocks` grid cells,
+    *     build rows to `probeBlocks` cells (grid key = (pb, bb));
+    *   - each of the probeBlocks × buildBlocks cells computes a bounded
+    *     per-probe top-k against ONLY its build block (task memory =
+    *     one build block, tunable);
+    *   - per-probe partials from the `buildBlocks` cells merge by a
+    *     k-bounded window rank.
+    *
+    * Shuffle volume = buildBlocks·|probe| + probeBlocks·|build| rows —
+    * linear in the replication factors, never O(n²); both factors scale
+    * with cluster width independently of data size. Results are
+    * bit-identical to `cosineTopK` (same summation order, same tiebreak).
+    */
+  def cosineTopKBlocked(df: DataFrame, id: String, vec: String, k: Int,
+                        probeBlocks: Int = 8, buildBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+    val probeRep = vecs.flatMap { a =>
+      val pb = (math.floorMod(a.id, probeBlocks)).toInt
+      (0 until buildBlocks).iterator.map(bb => (pb * buildBlocks + bb, a))
+    }
+    val buildRep = vecs.flatMap { b =>
+      val bb = (math.floorMod(b.id, buildBlocks)).toInt
+      (0 until probeBlocks).iterator.map(pb => (pb * buildBlocks + bb, b))
+    }
+    val partials = probeRep.groupByKey(_._1)
+      .cogroup(buildRep.groupByKey(_._1)) { (_, probes, builds) =>
+        val block = builds.map(_._2).toArray
+        probes.flatMap { case (_, a) => topkAgainst(a, block, k) }
+      }
+      .toDF("id_a", "id_b", "cosine")
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** Deterministic hyperplane component for (plane, dim) in [-1, 1):
@@ -119,19 +173,34 @@ object Similarity {
     sb.toString
   }
 
-  /** ANN top-k via multi-table random-hyperplane LSH.
+  /** ANN top-k via multi-table random-hyperplane LSH — the 100 TB scale
+    * path, with NO driver-side vector state:
+    *
+    *   - candidate generation shuffles only (bucket, id) pairs; vectors
+    *     themselves never enter the bucket join;
+    *   - scoring joins the candidate (id_a, id_b) pairs back to the
+    *     distributed vector table by id (two hash joins — the vector
+    *     payload moves once per side, O(candidates · d) total);
+    *   - `planes = 0` (default) adapts the signature width to the input:
+    *     planes = max(4, ceil(log2(n / 32))) keeps the expected bucket
+    *     size ~32, so per-bucket pair generation stays O(n) overall as n
+    *     grows instead of O((n/2^planes)²) blowing up.
+    *
     * Recall < 1 by construction: only pairs sharing a full signature in
     * ≥1 of the `tables` tables are compared. */
   def lshCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
-                    planes: Int = 4, tables: Int = 8): DataFrame = {
+                    planes: Int = 0, tables: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = toVecs(df, id, vec)
       .repartition(spark.sparkContext.defaultParallelism)
-    val build = spark.sparkContext.broadcast(
-      vecs.collect().map(v => v.id -> v).toMap)
+      .cache()
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(4, math.ceil(
+        math.log(vecs.count() / 32.0) / math.log(2.0)).toInt)
     val buckets = vecs.flatMap(a =>
-      (0 until tables).map(t => (signature(a.v, t, planes), a.id)))
+      (0 until tables).map(t => (signature(a.v, t, nPlanes), a.id)))
     val pairs = buckets.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._2).toArray
@@ -140,10 +209,16 @@ object Similarity {
           yield (ids(i), ids(j))
       }
       .distinct()
-    val scored = pairs.mapPartitions { it =>
-      val m = build.value
-      it.map { case (ia, ib) => (ia, ib, cosine(m(ia), m(ib))) }
-    }.toDF("id_a", "id_b", "cosine")
+      .toDF("id_a", "id_b")
+    val flat = vecs.toDF()
+    val scored = pairs
+      .join(flat.select(col("id").as("id_a"), col("v").as("__va"),
+        col("norm").as("__na")), Seq("id_a"))
+      .join(flat.select(col("id").as("id_b"), col("v").as("__vb"),
+        col("norm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(__va, __vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+          / (col("__na") * col("__nb")))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b").asc)
     scored

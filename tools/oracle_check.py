@@ -19,13 +19,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(rows, cols):
+def norm(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
     out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
-    return [cols[i] for i in order], out
+    # The driver's hash compare is insensitive to integer WIDTH (r1 data:
+    # INTEGER-vs-BIGINT ranks hashed equal) but sensitive to HUGEINT
+    # (int128 exceeds int64 and converts differently). Normalize widths.
+    def tnorm(t):
+        t = str(t)
+        return "INT64" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                "UTINYINT", "USMALLINT", "UINTEGER") else t
+    return [cols[i] for i in order], out, [tnorm(types[i]) for i in order]
 
 
 def main(sf_dir, out_dir):
@@ -40,19 +47,33 @@ def main(sf_dir, out_dir):
     for name in names:
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        s_cols, s_rows = norm(spark_rel.fetchall(), spark_rel.columns)
+        s_types = spark_rel.types
+        s_cols, s_rows, s_types = norm(spark_rel.fetchall(), spark_rel.columns,
+                                       s_types)
         if name not in oracle:
             print(f"[rows-only] {name}: {len(s_rows)} rows")
             continue
         try:
             duck_rel = con.sql(oracle[name])
-            d_cols, d_rows = norm(duck_rel.fetchall(), duck_rel.columns)
+            d_types = duck_rel.types
+            d_cols, d_rows, d_types = norm(duck_rel.fetchall(),
+                                           duck_rel.columns, d_types)
         except Exception as e:
             print(f"[FAIL-sql ] {name}: oracle error: {e}")
             n_fail += 1
             continue
         if s_cols != d_cols:
             print(f"[FAIL-cols] {name}: spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        # Type-strict: the driver hashes TYPED values, so a DuckDB HUGEINT
+        # (int128 from sum(int)) vs Spark BIGINT is a hash mismatch even
+        # when the Python values compare equal. Fail here so local green
+        # predicts driver green.
+        if s_types != d_types:
+            bad_t = [(c, st, dt) for c, st, dt in
+                     zip(s_cols, s_types, d_types) if st != dt]
+            print(f"[FAIL-type] {name}: {bad_t}")
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):
