@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where graft sessions are constructed, so engine-required
+  * configs are set at SESSION BUILD time, never mutated mid-query:
+  *
+  *   - `nanosAsLong`: the `events` table carries TIMESTAMP(NANOS), which
+  *     Spark's TimestampType (micros) cannot represent — read the raw
+  *     INT64 instead (see [[Tables.events]]);
+  *   - `shuffle.partitions` sized to the core count (local mode; a real
+  *     cluster sizes this to executors × cores with AQE coalescing);
+  *   - AQE partition coalescing off: the small local shuffles here are
+  *     compute-dense (md5/cosine), and coalescing to 1 partition would
+  *     serialize that work;
+  *   - UTC so timestamp functions agree with the DuckDB oracle.
+  */
+object GraftSession {
+
+  def local(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** cpus from SPARK_GRAFT_CPUS (default 4 — the driver contract). */
+  def localFromEnv(): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+}

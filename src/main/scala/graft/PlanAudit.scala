@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print formatted physical plans for selected queries so scan
   * pushdown (PushedFilters/ReadSchema), join strategies (broadcast vs
@@ -14,13 +13,7 @@ object PlanAudit {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q03_region_rollup",
         "q04_revenue_segment", "q15_ohlcv_hourly", "q18_asof_join")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("4")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

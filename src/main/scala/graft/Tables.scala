@@ -27,7 +27,11 @@ object Tables {
     *   - `ts_utc` : microsecond TimestampType for windowing/date_trunc
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // requires spark.sql.legacy.parquet.nanosAsLong=true, set at session
+    // construction (GraftSession) — never mutated mid-query here.
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
+        "GraftSession (sets spark.sql.legacy.parquet.nanosAsLong=true)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
       // `div` = exact integer division: ts_ns ~1.7e18 exceeds double's 2^53

@@ -46,8 +46,14 @@ object AsOfJoin {
         payload.map(col) ++ leftCols.filterNot(c => keys.contains(c)).map(col): _*)
       .unionByName(rTagged, allowMissingColumns = true)
 
+    // Tiebreak: when several right rows share (keys, ts), order them by
+    // their payload values so `last(payload)` picks a well-defined row
+    // (highest payload tuple wins) instead of a shuffle-order-dependent
+    // one — required for the repo's byte-stable determinism guarantees.
+    // Payload columns must therefore be orderable types.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc +: col("__side").asc +:
+        payload.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned) { case (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))

@@ -90,6 +90,12 @@ object SimKernel {
 
       var nextPositionId = 1L
       var vclock = 0.0
+      // ST5 guard: pre-v1.3.0 captures carry no collection timestamps
+      // (collected_msc backfilled to 0); the reference detects this on the
+      // first tick and disables budget filtering entirely rather than
+      // clipping everything after tick 1 (_apply_tick_budget,
+      // shared_data_preparator.py — collected_msc==0 → no filtering).
+      var clipEnabled = config.tickBudgetMs > 0
       var ticksTotal = 0L
       var ticksClipped = 0L
       var balance = config.startBalance
@@ -210,7 +216,8 @@ object SimKernel {
         }
 
         // ---- (2) clipping gate (ST5) ----
-        val clipped = config.tickBudgetMs > 0 && {
+        if (ticksTotal == 1 && t.collectedMsc == 0L) clipEnabled = false
+        val clipped = clipEnabled && {
           if (t.collectedMsc >= vclock) {
             vclock = t.collectedMsc + config.tickBudgetMs; false
           } else true

@@ -99,14 +99,7 @@ object TickReplay {
   /** Standalone benchmark main: prints ticks/s next to the reference's
     * 90k baseline. */
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val t0 = System.nanoTime()
     val stats = run(spark).collect()
     val secs = (System.nanoTime() - t0) / 1e9

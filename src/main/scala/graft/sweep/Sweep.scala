@@ -42,31 +42,39 @@ object Sweep {
   /** Run every combination against the same persisted tick data.
     * `build` maps a combination to (config, strategy) — the reference's
     * dotted-path parameter override collapses to ordinary function
-    * application here. */
+    * application here.
+    *
+    * Fully distributed: per-combo results map to stats-level `SweepRow`s
+    * ON THE EXECUTORS (the nested trade ledgers never reach the driver)
+    * and the per-combo Datasets union lazily into one ledger — the driver
+    * holds only the plan. Callers wanting the trades keep them by writing
+    * `SimKernel.runScenarios(...)` output to a table per combo instead. */
   def runSweep(sweepId: String, ticks: Dataset[SimTick],
                grid: Map[String, Seq[String]],
                build: Map[String, String] => (SimConfig, DecisionLogic)): DataFrame = {
     val spark = ticks.sparkSession
     import spark.implicits._
     val cached = ticks.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rows = expandGrid(grid).map { combo =>
-        try {
-          val (cfg, logic) = build(combo.params)
-          val results = SimKernel.runScenarios(cached, cfg, logic).collect()
-          results.map { r =>
-            SweepRow(sweepId, combo.runId, "ok", combo.params,
-              r.stats.scenarioId, r.stats.nTrades,
-              r.stats.finalBalance - cfg.startBalance, r.stats.maxDrawdown)
-          }.toSeq
-        } catch {
-          case e: Exception =>
-            Seq(SweepRow(sweepId, combo.runId, s"error", combo.params, "",
-              0L, 0.0, 0.0))
+    val perCombo = expandGrid(grid).map { combo =>
+      try {
+        val (cfg, logic) = build(combo.params)
+        val (runId, params, start) = (combo.runId, combo.params, cfg.startBalance)
+        SimKernel.runScenarios(cached, cfg, logic).map { r =>
+          SweepRow(sweepId, runId, "ok", params,
+            r.stats.scenarioId, r.stats.nTrades,
+            r.stats.finalBalance - start, r.stats.maxDrawdown)
         }
+      } catch {
+        // build() failures surface at plan-construction time on the driver;
+        // record the message so the ledger says WHY the combo failed.
+        case e: Exception =>
+          spark.createDataset(Seq(SweepRow(sweepId, combo.runId,
+            s"error: ${e.getMessage}", combo.params, "", 0L, 0.0, 0.0)))
       }
-      spark.createDataset(rows.flatten).toDF()
-    } finally cached.unpersist()
+    }
+    // cached stays persisted while the returned plan executes (every combo
+    // re-reads it); Spark's LRU block manager reclaims it under pressure.
+    perCombo.reduce(_ union _).toDF()
   }
 
   /** Per-run objective roll-up of a sweep ledger (sum net P&L across the

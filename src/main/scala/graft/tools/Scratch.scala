@@ -12,15 +12,7 @@ object Scratch {
     val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 2
     val doExplain = args.length > 3 && args(3) == "explain"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     for (name <- names) {
       val fn = SparkEntry.queries(name)

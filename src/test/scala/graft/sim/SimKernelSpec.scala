@@ -89,9 +89,11 @@ class SimKernelSpec extends SparkSpecBase {
   }
 
   test("virtual-clock clipping: clipped ticks skip the algo path but drive fills") {
-    // collected_msc 0,100,200,...; budget 250ms keeps 0, 300, 600, 900 (4 of 10)
+    // collected_msc 100,200,...,1000; budget 250ms keeps 100, 400, 700,
+    // 1000 (4 of 10). First collected_msc must be nonzero: 0 signals
+    // pre-v1.3.0 data and disables clipping (see next test).
     val rows = (0 until 10).map(i =>
-      SimTick("s1", 1000L + i, i * 100L, 1.1, 1.1001))
+      SimTick("s1", 1000L + i, (i + 1) * 100L, 1.1, 1.1001))
     val res = SimKernel.runScenarios(rows.toDS(),
       cfg.copy(tickBudgetMs = 250.0), new OpenEveryTick).collect().head
     assert(res.stats.ticksTotal === 10L)
@@ -99,6 +101,18 @@ class SimKernelSpec extends SparkSpecBase {
     // one open per NON-clipped tick only
     assert(res.trades.length === 4)
     assert(res.trades.forall(_.closeReason === "end_of_scenario"))
+  }
+
+  test("clipping disables itself on pre-v1.3.0 data (first collected_msc == 0)") {
+    // reference guard (_apply_tick_budget): collected_msc backfilled to 0
+    // means no collection timestamps — budget filtering must not run, else
+    // every tick after the first is clipped forever.
+    val rows = (0 until 10).map(i =>
+      SimTick("s1", 1000L + i, 0L, 1.1, 1.1001))
+    val res = SimKernel.runScenarios(rows.toDS(),
+      cfg.copy(tickBudgetMs = 250.0), new OpenEveryTick).collect().head
+    assert(res.stats.ticksClipped === 0L)
+    assert(res.trades.length === 10)
   }
 
   test("seeded latency defers market fills to the deadline tick, deterministically") {
