@@ -24,14 +24,51 @@ sealed trait Direction extends Serializable { def sign: Int }
 case object Long_ extends Direction { val sign = 1 }
 case object Short_ extends Direction { val sign = -1 }
 
-/** Decisions the strategy can emit on a (non-clipped) tick. */
+/** Decisions the strategy can emit on a (non-clipped) tick.
+  *
+  * Order-type surface mirrors `trade_simulator.py`:
+  *   - STOP triggers on breakout (LONG: ask >= stop; SHORT: bid <= stop)
+  *     and fills AT MARKET (`_is_stop_price_reached`, :630-649);
+  *   - STOP_LIMIT converts to a limit order at `limitPrice` when the stop
+  *     triggers (`_convert_stop_limit_to_limit`, :652-686);
+  *   - Modify/Cancel of working limit/stop orders are ASYNC (#318): they
+  *     schedule at decision time (validation immediate) and apply at the
+  *     next pass with time >= now + modifyCancelDelayMs (:692-808);
+  *   - PartialClose realizes proportional P&L/fees and keeps the
+  *     remainder open (`portfolio_manager.py:454-560`).
+  *
+  * In Modify fields, NaN = keep current value, 0.0 = remove the level. */
 sealed trait Decision extends Serializable
 case class OpenMarket(direction: Direction, lots: Double,
                       slPrice: Double = 0.0, tpPrice: Double = 0.0) extends Decision
 case class OpenLimit(direction: Direction, lots: Double, limitPrice: Double,
                      slPrice: Double = 0.0, tpPrice: Double = 0.0) extends Decision
+case class OpenStop(direction: Direction, lots: Double, stopPrice: Double,
+                    slPrice: Double = 0.0, tpPrice: Double = 0.0) extends Decision
+case class OpenStopLimit(direction: Direction, lots: Double, stopPrice: Double,
+                         limitPrice: Double, slPrice: Double = 0.0,
+                         tpPrice: Double = 0.0) extends Decision
+case class ModifyOrder(orderId: Long, newPrice: Double = Double.NaN,
+                       newLimitPrice: Double = Double.NaN,
+                       newSl: Double = Double.NaN,
+                       newTp: Double = Double.NaN) extends Decision
+case class CancelOrder(orderId: Long) extends Decision
+case class PartialClose(positionId: Long, lots: Double) extends Decision
 case class ClosePosition(positionId: Long) extends Decision
 case object Hold extends Decision
+
+/** Read-only view of a working order, exposed on DecisionContext so the
+  * strategy can address Modify/Cancel by orderId. `busy` = a modify or
+  * cancel is already in flight (#318: one operation at a time). */
+case class PendingOrderView(orderId: Long, kind: String, direction: Direction,
+                            lots: Double, price: Double, limitPrice: Double,
+                            slPrice: Double, tpPrice: Double, busy: Boolean)
+
+/** Account snapshot (margin mode, `portfolio_manager.get_account_info`):
+  * equity = balance + unrealized; marginUsed = Σ lots·contractSize/leverage;
+  * freeMargin = equity - marginUsed. */
+case class AccountInfo(balance: Double, equity: Double, marginUsed: Double,
+                       freeMargin: Double)
 
 /** One in-kernel bar (mid-price OHLC, tick_count = ticks seen). */
 case class KernelBar(timeframeMs: Long, barStartMs: Long, open: Double,
@@ -47,11 +84,20 @@ final class DecisionContext(
     val openPositions: Seq[OpenPosition],
     val recentMids: IndexedSeq[Double],
     val closedBars: Seq[KernelBar] = Seq.empty,
-    val formingBars: Map[Long, KernelBar] = Map.empty)
+    val formingBars: Map[Long, KernelBar] = Map.empty,
+    val pendingOrders: Seq[PendingOrderView] = Seq.empty,
+    val account: AccountInfo = AccountInfo(0, 0, 0, 0))
 
-/** The X5 plugin surface: deterministic, serializable strategy. */
+/** The X5 plugin surface: deterministic, serializable strategy.
+  * Heartbeats (ST6, #360): an opt-in strategy also receives ghost-passes
+  * at `heartbeatIntervalMs` steps of simulated time strictly inside a
+  * tick gap — no bar render, no tick count, broker fills resolved at the
+  * ghost instant with last-known prices. */
 trait DecisionLogic extends Serializable {
   def onTick(ctx: DecisionContext): Seq[Decision]
+  def wantsHeartbeat: Boolean = false
+  /** `ctx.tick` is the PREVIOUS data tick; `timeMsc` is the ghost instant. */
+  def onHeartbeat(timeMsc: Long, ctx: DecisionContext): Seq[Decision] = Seq.empty
 }
 
 /** Open position state (kernel-internal but exposed to DecisionLogic). */
@@ -68,7 +114,11 @@ case class OpenPosition(
     maePnl: Double = 0.0,
     mfePnl: Double = 0.0,
     maePrice: Double = 0.0,
-    mfePrice: Double = 0.0)
+    mfePrice: Double = 0.0,
+    // accrued overnight swap (signed cost; debit positive) and the instant
+    // accrued up to (`portfolio_manager.py:875-917` #365)
+    swapCost: Double = 0.0,
+    swapAccruedUntilMsc: Long = 0L)
 
 /** Closed trade — the result ledger row (`portfolio_trade_record_types.py`). */
 case class TradeRecord(
@@ -89,7 +139,11 @@ case class TradeRecord(
     mfePrice: Double,
     initialRisk: Double,
     rMultiple: Option[Double],
-    closeReason: String)
+    closeReason: String,
+    /** realized swap cost for this (portion of the) position; debit > 0 */
+    swapCost: Double = 0.0,
+    /** "full" | "partial" (`CloseType`, portfolio_manager.py:534) */
+    closeType: String = "full")
 
 /** Per-scenario summary (A20 running portfolio stats + ST5 clipping). */
 case class ScenarioStats(
@@ -101,7 +155,9 @@ case class ScenarioStats(
     nLosses: Long,
     finalBalance: Double,
     maxEquity: Double,
-    maxDrawdown: Double)
+    maxDrawdown: Double,
+    /** orders rejected by SL/TP validation or the margin check */
+    nRejected: Long = 0L)
 
 /** One row per scenario: stats + nested trade ledger (matches the
   * reference's per-scenario result packaging, `ProcessTickLoopResult`). */
@@ -122,7 +178,30 @@ case class SimConfig(
     midWindow: Int = 32,
     /** ST2: timeframes (ms) rendered incrementally inside the kernel;
       * closed bars surface on DecisionContext.closedBars. */
-    barTimeframesMs: Seq[Long] = Seq.empty)
+    barTimeframesMs: Seq[Long] = Seq.empty,
+    /** #318 async modify/cancel: scheduled at decision time, applied at the
+      * first pass with time >= scheduled + this delay (reference default 1). */
+    modifyCancelDelayMs: Long = 1L,
+    /** Overnight swap accrual (points mode, `trading_fees.py:118-140`):
+      * cost per rollover crossing = -(rate · mult · tickValue · lots);
+      * Sat/Sun carry no rollover, the triple weekday books 3 days. */
+    swapEnabled: Boolean = false,
+    swapLongPoints: Double = 0.0,
+    swapShortPoints: Double = 0.0,
+    /** broker rollover instant, UTC hour (weekend-only model; the
+      * reference's DST-aware local rollover collapses to a UTC hour here) */
+    swapRolloverUtcHour: Int = 22,
+    /** weekday carrying triple swap, 0=Mon … 6=Sun (typically Wednesday) */
+    swapTripleWeekday: Int = 2,
+    /** margin checks: leverage 0 disables; required = lots·contractSize/
+      * leverage (quote-margin mode, `abstract_adapter.py:1010-1043`) */
+    leverage: Double = 0.0,
+    contractSize: Double = 100000.0,
+    /** ST6 heartbeat ghost-passes: 0 disables; only strategies with
+      * wantsHeartbeat=true receive them (#360) */
+    heartbeatIntervalMs: Long = 0L,
+    /** #208: no ghost-passes across gaps longer than this (market silent) */
+    interTickGapThresholdMs: Long = 300000L)
 
 /** Deterministic delay generator (concept of
   * `seeded_delay_generator.py:15-35`: seeded RNG, uniform inclusive
