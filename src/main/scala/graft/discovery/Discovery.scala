@@ -38,6 +38,25 @@ object Discovery {
           .otherwise("extended"))
   }
 
+  /** Weekend/holiday-aware gap detection (F16): same consecutive-row
+    * detection as [[gaps]], but categories come from the forex market
+    * calendar (`market_calendar.py:425-494` via [[MarketCalendar]]) so a
+    * normal weekend closure is not reported as a data outage
+    * (`data_coverage_report.py` categories: seamless/weekend/holiday/
+    * short/moderate/large). */
+  def gapsCalendar(df: DataFrame, keys: Seq[String], tsMs: String,
+                   expectedIntervalMs: Long, gapFactor: Double = 2.0,
+                   shortHours: Double = 0.5, moderateHours: Double = 4.0,
+                   weekendClosure: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsMs))
+    val threshold = (expectedIntervalMs * gapFactor).toLong
+    df.withColumn("prev_ts_ms", lag(col(tsMs), 1).over(w))
+      .withColumn("delta_ms", col(tsMs) - col("prev_ts_ms"))
+      .filter(col("delta_ms") > threshold)
+      .withColumn("category", MarketCalendar.classifyGap(
+        col("prev_ts_ms"), col(tsMs), shortHours, moderateHours, weekendClosure))
+  }
+
   /** Sliding extreme-move scan
     * (`/root/reference/python/data_management/discoveries/extreme_move_scanner.py:145-277`):
     * forward-looking windows of `size` bars at stride size/4; a window is an

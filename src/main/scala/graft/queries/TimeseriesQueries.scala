@@ -79,6 +79,54 @@ object TimeseriesQueries extends QueryPack {
         FROM g GROUP BY category ORDER BY category"""),
       "Consecutive-gap detect + classify + count (SURVEY W3/A19)"),
 
+    // F16: the same gap detection, classified by the forex market
+    // calendar — weekend closures and fixed holidays are benign, not
+    // outages. The holiday branch fires on this data (Jan 1 in range);
+    // weekend-pattern branches are pinned by MarketCalendarSpec.
+    "q45_calendar_gaps" -> QueryDef(
+      (s, dir) => {
+        Discovery.gapsCalendar(Tables.events(s, dir), Seq("user_id"), "ts_ms",
+            expectedIntervalMs = 600000L, gapFactor = 2.0)
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(avg(col("delta_ms")), 4).as("avg_gap_ms"),
+            max(col("delta_ms")).as("max_gap_ms"))
+          .orderBy(col("category"))
+      },
+      Some(s"""WITH $BaseCte,
+        d AS (SELECT ts_ms, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ns) AS p
+          FROM base),
+        g AS (SELECT p, ts_ms, ts_ms - p AS delta_ms,
+          (ts_ms - p) / 1000.0 AS gap_s, (ts_ms - p) / 1000.0 / 3600.0 AS gap_h,
+          (p // 86400000 + 3) % 7 AS sd_dow, (p % 86400000) // 3600000 AS sd_hour,
+          (ts_ms // 86400000 + 3) % 7 AS ed_dow, (ts_ms % 86400000) // 3600000 AS ed_hour,
+          make_timestamp(p * 1000)::DATE AS sdate,
+          make_timestamp(ts_ms * 1000)::DATE AS edate
+          FROM d WHERE ts_ms - p > 1200000),
+        c AS (SELECT delta_ms,
+          CASE WHEN gap_s < 5.0 THEN 'seamless'
+               WHEN (sd_dow = 4 AND sd_hour >= 20 AND ed_dow = 6 AND ed_hour <= 22
+                     AND gap_h BETWEEN 40.0 AND 80.0)
+                 OR (sd_dow = 5 AND ed_dow = 6 AND ed_hour <= 22
+                     AND gap_h BETWEEN 24.0 AND 50.0) THEN 'weekend'
+               WHEN gap_h >= 20.0 AND (
+                 (CASE WHEN make_date(year(sdate), 12, 25) >= sdate
+                       THEN make_date(year(sdate), 12, 25)
+                       ELSE make_date(year(sdate) + 1, 12, 25) END) <= edate
+                 OR
+                 (CASE WHEN make_date(year(sdate), 1, 1) >= sdate
+                       THEN make_date(year(sdate), 1, 1)
+                       ELSE make_date(year(sdate) + 1, 1, 1) END) <= edate)
+                 THEN 'holiday'
+               WHEN gap_h < 0.5 THEN 'short'
+               WHEN gap_h < 4.0 THEN 'moderate'
+               ELSE 'large' END AS category
+          FROM g)
+        SELECT category, count(*) AS n_gaps, round(avg(delta_ms), 4) AS avg_gap_ms,
+          max(delta_ms) AS max_gap_ms
+        FROM c GROUP BY category ORDER BY category"""),
+      "Market-calendar gap classification: weekend/holiday-aware (F16)"),
+
     // F3 + A5: session tagging and per-session stats.
     "q17_session_stats" -> QueryDef(
       (s, dir) => {
