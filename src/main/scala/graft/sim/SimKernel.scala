@@ -53,6 +53,25 @@ object SimKernel {
       }
   }
 
+  /** Like [[runScenarios]] but executor-side failures (a strategy throwing
+    * mid-scenario, bad tick data) are captured PER SCENARIO instead of
+    * failing the whole job: the broken scenario's remaining ticks are
+    * drained to the scenario boundary and an error outcome is emitted, so
+    * one bad scenario/combination can't lose a whole sweep ledger. */
+  def runScenariosOutcomes(ticks: Dataset[SimTick], config: SimConfig,
+                           logic: DecisionLogic): Dataset[ScenarioOutcome] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .repartition(org.apache.spark.sql.functions.col("scenarioId"))
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.col("scenarioId"),
+        org.apache.spark.sql.functions.col("timeMsc"))
+      .mapPartitions { it =>
+        new ScenarioRunner(config, logic).runSafe(it)
+      }
+  }
+
   /** Runs consecutive scenario groups off a sorted partition iterator. */
   private final class ScenarioRunner(config: SimConfig, logic: DecisionLogic)
       extends Serializable {
@@ -66,6 +85,26 @@ object SimKernel {
           override def hasNext: Boolean = buf.hasNext && buf.head.scenarioId == sid
           override def next(): SimTick = buf.next()
         })
+      }
+    }
+
+    /** [[run]] with per-scenario failure isolation: a throwing scenario
+      * drains to its boundary and yields an error outcome. */
+    def runSafe(it: Iterator[SimTick]): Iterator[ScenarioOutcome] = new Iterator[ScenarioOutcome] {
+      private val buf = it.buffered
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): ScenarioOutcome = {
+        val sid = buf.head.scenarioId
+        val sub = new Iterator[SimTick] {
+          override def hasNext: Boolean = buf.hasNext && buf.head.scenarioId == sid
+          override def next(): SimTick = buf.next()
+        }
+        try ScenarioOutcome(sid, "", Some(runOne(sid, sub)))
+        catch {
+          case e: Exception =>
+            while (sub.hasNext) sub.next() // realign to the scenario boundary
+            ScenarioOutcome(sid, s"${e.getClass.getSimpleName}: ${e.getMessage}", None)
+        }
       }
     }
 
@@ -238,15 +277,23 @@ object SimKernel {
       def stopReached(w: Working, bid: Double, ask: Double): Boolean =
         if (w.direction == Long_) ask >= w.price else bid <= w.price
 
-      def fillOpen(w: Working, price: Double, msc: Long): Unit =
-        openAt(w.id, w.direction, w.lots, price, w.sl, w.tp, msc)
+      /** Fill a working open order — margin is RE-CHECKED at fill time
+        * (the reference's portfolio opens positions through the margin
+        * gate on fill, not only at submit): several orders that each
+        * passed marginOk at decision time may not all fit once earlier
+        * fills consumed free margin. A fill that no longer fits is
+        * rejected, mirroring the adapter's open-position rejection. */
+      def fillOpen(w: Working, price: Double, msc: Long,
+                   bid: Double, ask: Double): Unit =
+        if (!marginOk(w.lots, bid, ask)) nRejected += 1
+        else openAt(w.id, w.direction, w.lots, price, w.sl, w.tp, msc)
 
       /** STOP_LIMIT trigger → becomes a limit order at limitPrice; fills
         * immediately if the limit is already reached. Returns true if
         * filled (caller drops it from `working`). */
       def convertStopLimit(w: Working, bid: Double, ask: Double, msc: Long): Boolean = {
         w.kind = 1; w.price = w.limitPrice; w.fromStopLimit = true
-        if (limitReached(w, bid, ask)) { fillOpen(w, w.price, msc); true }
+        if (limitReached(w, bid, ask)) { fillOpen(w, w.price, msc, bid, ask); true }
         else { w.active = true; false }
       }
 
@@ -276,15 +323,15 @@ object SimKernel {
           var removed = false
           if (!w.active && nowMsc >= w.deadlineMsc) w.kind match {
             case 0 =>
-              fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc)
+              fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc, bid, ask)
               working.remove(i); removed = true
             case 1 =>
               if (limitReached(w, bid, ask)) {
-                fillOpen(w, w.price, nowMsc); working.remove(i); removed = true
+                fillOpen(w, w.price, nowMsc, bid, ask); working.remove(i); removed = true
               } else w.active = true
             case 2 =>
               if (stopReached(w, bid, ask)) {
-                fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc)
+                fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc, bid, ask)
                 working.remove(i); removed = true
               } else w.active = true
             case _ =>
@@ -306,9 +353,9 @@ object SimKernel {
           var removed = false
           if (w.active) w.kind match {
             case 1 if limitReached(w, bid, ask) =>
-              fillOpen(w, w.price, nowMsc); working.remove(i); removed = true
+              fillOpen(w, w.price, nowMsc, bid, ask); working.remove(i); removed = true
             case 2 if stopReached(w, bid, ask) =>
-              fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc)
+              fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc, bid, ask)
               working.remove(i); removed = true
             case 3 if stopReached(w, bid, ask) =>
               if (convertStopLimit(w, bid, ask, nowMsc)) {
@@ -326,11 +373,11 @@ object SimKernel {
         if (w.deadlineMsc > nowMsc) { working += w; return }
         w.kind match {
           case 1 =>
-            if (limitReached(w, bid, ask)) fillOpen(w, w.price, nowMsc)
+            if (limitReached(w, bid, ask)) fillOpen(w, w.price, nowMsc, bid, ask)
             else { w.active = true; working += w }
           case 2 =>
             if (stopReached(w, bid, ask))
-              fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc)
+              fillOpen(w, if (w.direction == Long_) ask else bid, nowMsc, bid, ask)
             else { w.active = true; working += w }
           case _ =>
             if (stopReached(w, bid, ask)) {

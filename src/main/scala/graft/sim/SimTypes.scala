@@ -163,6 +163,12 @@ case class ScenarioStats(
   * reference's per-scenario result packaging, `ProcessTickLoopResult`). */
 case class ScenarioResult(stats: ScenarioStats, trades: Seq[TradeRecord])
 
+/** Per-scenario outcome with executor-side failure isolation:
+  * error == "" iff `result` is present. One bad scenario no longer fails
+  * the whole action (used by the sweep ledger). */
+case class ScenarioOutcome(scenarioId: String, error: String,
+                           result: Option[ScenarioResult])
+
 /** Kernel configuration. */
 case class SimConfig(
     spec: SymbolSpec,

@@ -158,15 +158,23 @@ object Similarity {
     u.toDouble / 2147483648.0 - 1.0
   }
 
+  /** Materialized hyperplane matrix: row = plane index (t·planes+p),
+    * col = dimension. Values are exactly [[planeComponent]] — computed
+    * ONCE per task (tables·planes·d md5 calls total) instead of once per
+    * (row, plane, dim), which at n rows would be n× that many digests. */
+  private def planeMatrix(numPlanes: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, d)((plane, dim) => planeComponent(plane, dim))
+
   /** Sign-bit signature of `v` for table `t` with `planes` bits. */
-  private def signature(v: Array[Double], t: Int, planes: Int): String = {
+  private def signature(v: Array[Double], t: Int, planes: Int,
+                        mat: Array[Array[Double]]): String = {
     val sb = new StringBuilder(planes + 4)
     sb.append(t).append(':')
     var p = 0
     while (p < planes) {
-      val plane = t * planes + p
+      val row = mat(t * planes + p)
       var s = 0.0; var j = 0
-      while (j < v.length) { s += v(j) * planeComponent(plane, j); j += 1 }
+      while (j < v.length) { s += v(j) * row(j); j += 1 }
       sb.append(if (s >= 0) '1' else '0')
       p += 1
     }
@@ -199,8 +207,14 @@ object Similarity {
       if (planes > 0) planes
       else math.max(4, math.ceil(
         math.log(vecs.count() / 32.0) / math.log(2.0)).toInt)
-    val buckets = vecs.flatMap(a =>
-      (0 until tables).map(t => (signature(a.v, t, nPlanes), a.id)))
+    val nTables = tables
+    val buckets = vecs.mapPartitions { it =>
+      var mat: Array[Array[Double]] = null
+      it.flatMap { a =>
+        if (mat == null) mat = planeMatrix(nTables * nPlanes, a.v.length)
+        (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a.id))
+      }
+    }
     val pairs = buckets.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._2).toArray

@@ -51,7 +51,16 @@ object Sweep {
     * `SimKernel.runScenarios(...)` output to a table per combo instead. */
   def runSweep(sweepId: String, ticks: Dataset[SimTick],
                grid: Map[String, Seq[String]],
-               build: Map[String, String] => (SimConfig, DecisionLogic)): DataFrame = {
+               build: Map[String, String] => (SimConfig, DecisionLogic)): DataFrame =
+    runSweepWithHandle(sweepId, ticks, grid, build)._1
+
+  /** [[runSweep]] plus a release hook: call it AFTER materializing the
+    * ledger (the persisted tick partitions must stay alive while the plan
+    * executes). Callers that skip it rely on LRU block eviction. */
+  def runSweepWithHandle(sweepId: String, ticks: Dataset[SimTick],
+               grid: Map[String, Seq[String]],
+               build: Map[String, String] => (SimConfig, DecisionLogic))
+      : (DataFrame, () => Unit) = {
     val spark = ticks.sparkSession
     import spark.implicits._
     val cached = ticks.persist(StorageLevel.MEMORY_AND_DISK)
@@ -59,10 +68,19 @@ object Sweep {
       try {
         val (cfg, logic) = build(combo.params)
         val (runId, params, start) = (combo.runId, combo.params, cfg.startBalance)
-        SimKernel.runScenarios(cached, cfg, logic).map { r =>
-          SweepRow(sweepId, runId, "ok", params,
-            r.stats.scenarioId, r.stats.nTrades,
-            r.stats.finalBalance - start, r.stats.maxDrawdown)
+        // Executor-side failures are captured PER SCENARIO inside the
+        // kernel (runScenariosOutcomes): one throwing scenario emits an
+        // error row instead of aborting the whole lazily-unioned ledger.
+        SimKernel.runScenariosOutcomes(cached, cfg, logic).map { o =>
+          o.result match {
+            case Some(r) =>
+              SweepRow(sweepId, runId, "ok", params,
+                r.stats.scenarioId, r.stats.nTrades,
+                r.stats.finalBalance - start, r.stats.maxDrawdown)
+            case None =>
+              SweepRow(sweepId, runId, s"error: ${o.error}", params,
+                o.scenarioId, 0L, 0.0, 0.0)
+          }
         }
       } catch {
         // build() failures surface at plan-construction time on the driver;
@@ -72,9 +90,11 @@ object Sweep {
             s"error: ${e.getMessage}", combo.params, "", 0L, 0.0, 0.0)))
       }
     }
-    // cached stays persisted while the returned plan executes (every combo
-    // re-reads it); Spark's LRU block manager reclaims it under pressure.
-    perCombo.reduce(_ union _).toDF()
+    // empty grid (any key with zero values) → empty ledger, not a crash
+    val ledger =
+      if (perCombo.isEmpty) spark.emptyDataset[SweepRow].toDF()
+      else perCombo.reduce(_ union _).toDF()
+    (ledger, () => { cached.unpersist(); () })
   }
 
   /** Per-run objective roll-up of a sweep ledger (sum net P&L across the
