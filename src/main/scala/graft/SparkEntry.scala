@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(RelationalQueries, TimeseriesQueries, TextQueries, VectorQueries,
-      LedgerQueries)
+      LedgerQueries, OperatorQueries)
 
   private lazy val registry: Seq[(String, QueryDef)] = packs.flatMap(_.queries)
 
