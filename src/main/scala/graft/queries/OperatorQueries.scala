@@ -3,10 +3,14 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.bars.Ohlcv
+import graft.functions.TradingMath
 import graft.indicators.Indicators
 import graft.ops.{AsOfJoin, SequentialOps}
 import graft.report.Reports
+import graft.serve.Serve
 import graft.signal.Signals
+import graft.stress.StaleData
 import graft.windows.{ScenarioWindows, Splitters}
 
 /** Round-3 coverage pack: oracle entries for the operator families that
@@ -600,6 +604,327 @@ object OperatorQueries extends QueryPack {
         SELECT bucket_ms, round(range_val * sqrt(24.0), 6) AS vol_daily,
           round(range_val * sqrt(24.0) / close_val * 100.0, 6) AS vol_pct
         FROM h ORDER BY bucket_ms"""),
-      "Sqrt-of-time volatility scaling: hourly -> daily ATR% (SURVEY F12)")
+      "Sqrt-of-time volatility scaling: hourly -> daily ATR% (SURVEY F12)"),
+
+    // A10: rich portfolio aggregate — units/exec/pending ledgers derived
+    // deterministically from orders; one row per currency with balances,
+    // cost split, dd/equity attribution, weighted-avg latency.
+    "q62_rich_portfolio" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(
+          col("o_orderstatus").as("currency"),
+          concat(col("o_orderstatus"), lit("_u"),
+            (col("o_custkey") % 20).cast("string")).as("name"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val units = base.groupBy(col("currency"), col("name")).agg(
+          count(lit(1)).as("n_trades"),
+          sum(when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L)).as("n_wins"),
+          sum(when(col("o_orderkey") % 3 === 1, 1L).otherwise(0L)).as("n_losses"),
+          sum(when(col("o_orderkey") % 3 === 0, col("o_totalprice"))
+            .otherwise(0.0)).as("sum_profit"),
+          (-sum(when(col("o_orderkey") % 3 === 1, col("o_totalprice"))
+            .otherwise(0.0))).as("sum_loss"),
+          sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("o_orderkey") % 2 === 1, 1L).otherwise(0L)).as("n_short"),
+          sum(col("o_totalprice") * ((col("o_orderkey") % 7) - 3) / 100.0)
+            .as("__pnl"),
+          sum(col("o_totalprice") * 0.0001).as("total_spread_cost"),
+          sum(col("o_totalprice") * 0.0002).as("total_commission"),
+          sum(col("o_totalprice") * 0.00005).as("total_swap"),
+          // min(custkey) term makes dd/equity unique per unit, so the
+          // max_by attribution is deterministic in both engines
+          (-(max(col("o_totalprice")) + min(col("o_custkey")) / 1e6))
+            .as("max_drawdown"),
+          (max(col("o_totalprice")) + min(col("o_custkey")) / 5e5)
+            .as("max_equity"))
+          .withColumn("initial_balance", lit(10000.0))
+          .withColumn("current_balance", lit(10000.0) + col("__pnl"))
+        val execStats = base.groupBy(col("name")).agg(
+          count(lit(1)).as("orders_sent"),
+          sum(when(col("o_orderkey") % 5 =!= 0, 1L).otherwise(0L))
+            .as("orders_executed"),
+          sum(when(col("o_orderkey") % 5 === 0, 1L).otherwise(0L))
+            .as("orders_rejected"),
+          sum(when(col("o_orderkey") % 11 === 0, 1L).otherwise(0L))
+            .as("sl_tp_triggered"))
+        // integer latencies → exact sums → engine-identical weighted avg
+        val pending = base.groupBy(col("name")).agg(
+          count(lit(1)).as("total_resolved"),
+          sum(when(col("o_orderkey") % 4 =!= 0, 1L).otherwise(0L))
+            .as("total_filled"),
+          avg((col("o_orderkey") % 97).cast("double")).as("avg_latency_ms"),
+          count(lit(1)).as("latency_count"),
+          min((col("o_orderkey") % 97).cast("double")).as("min_latency_ms"),
+          max((col("o_orderkey") % 97).cast("double")).as("max_latency_ms"))
+        Reports.richPortfolioAggregate(units, execStats, pending)
+          .select(col("currency"), col("n_units"), col("total_trades"),
+            col("total_long_trades"), col("total_short_trades"),
+            round(col("avg_win"), 4).as("avg_win"),
+            round(col("avg_loss"), 4).as("avg_loss"),
+            round(col("initial_balance"), 2).as("initial_balance"),
+            round(col("final_balance"), 2).as("final_balance"),
+            round(col("balance_pnl_pct"), 6).as("balance_pnl_pct"),
+            round(col("recovery_factor"), 6).as("recovery_factor"),
+            round(col("max_dd_pct"), 6).as("max_dd_pct"),
+            col("max_drawdown_scenario"), col("max_equity_scenario"),
+            round(col("total_spread_cost"), 4).as("total_spread_cost"),
+            round(col("total_commission"), 4).as("total_commission"),
+            round(col("total_swap"), 4).as("total_swap"),
+            round(col("avg_spread"), 6).as("avg_spread"),
+            col("orders_sent"), col("orders_executed"), col("orders_rejected"),
+            col("sl_tp_triggered"), col("pending_total_resolved"),
+            col("pending_total_filled"),
+            round(col("pending_avg_latency_ms"), 6).as("pending_avg_latency_ms"),
+            round(col("pending_min_latency_ms"), 2).as("pending_min_latency_ms"),
+            round(col("pending_max_latency_ms"), 2).as("pending_max_latency_ms"))
+          .orderBy(col("currency"))
+      },
+      Some("""WITH base AS (SELECT o_orderstatus AS currency,
+          o_orderstatus || '_u' || (o_custkey % 20)::VARCHAR AS name,
+          o_orderkey, o_custkey, o_totalprice FROM orders),
+        units AS (SELECT currency, name,
+          count(*) AS n_trades,
+          sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_wins,
+          sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_losses,
+          sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice ELSE 0 END) AS sum_profit,
+          -sum(CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice ELSE 0 END) AS sum_loss,
+          sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_long,
+          sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+          10000.0::DOUBLE AS initial_balance,
+          10000.0::DOUBLE + sum(o_totalprice * ((o_orderkey % 7) - 3) / 100.0) AS current_balance,
+          sum(o_totalprice * 0.0001) AS total_spread_cost,
+          sum(o_totalprice * 0.0002) AS total_commission,
+          sum(o_totalprice * 0.00005) AS total_swap,
+          -(max(o_totalprice) + min(o_custkey) / 1e6) AS max_drawdown,
+          max(o_totalprice) + min(o_custkey) / 5e5 AS max_equity
+        FROM base GROUP BY 1, 2),
+        ex AS (SELECT name, count(*) AS orders_sent,
+          sum(CASE WHEN o_orderkey % 5 != 0 THEN 1 ELSE 0 END)::BIGINT AS orders_executed,
+          sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS orders_rejected,
+          sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS sl_tp_triggered
+        FROM base GROUP BY name),
+        pend AS (SELECT name, count(*) AS total_resolved,
+          sum(CASE WHEN o_orderkey % 4 != 0 THEN 1 ELSE 0 END)::BIGINT AS total_filled,
+          avg((o_orderkey % 97)::DOUBLE) AS avg_latency_ms,
+          count(*) AS latency_count,
+          min((o_orderkey % 97)::DOUBLE) AS min_latency_ms,
+          max((o_orderkey % 97)::DOUBLE) AS max_latency_ms
+        FROM base GROUP BY name),
+        j AS (SELECT u.*, ex.orders_sent, ex.orders_executed,
+            ex.orders_rejected, ex.sl_tp_triggered, pend.total_resolved,
+            pend.total_filled, pend.avg_latency_ms, pend.latency_count,
+            pend.min_latency_ms, pend.max_latency_ms
+          FROM units u LEFT JOIN ex USING (name) LEFT JOIN pend USING (name))
+        SELECT currency, count(*) AS n_units,
+          sum(n_trades)::BIGINT AS total_trades,
+          sum(n_long)::BIGINT AS total_long_trades,
+          sum(n_short)::BIGINT AS total_short_trades,
+          round(sum(sum_profit) / sum(n_wins), 4) AS avg_win,
+          round(abs(sum(sum_loss)) / sum(n_losses), 4) AS avg_loss,
+          round(sum(initial_balance), 2) AS initial_balance,
+          round(sum(current_balance), 2) AS final_balance,
+          round(CASE WHEN sum(initial_balance) > 0 THEN
+            (sum(current_balance) - sum(initial_balance))
+              / sum(initial_balance) * 100 END, 6) AS balance_pnl_pct,
+          round(CASE WHEN max(abs(max_drawdown)) != 0 THEN
+            (sum(current_balance) - sum(initial_balance))
+              / max(abs(max_drawdown)) END, 6) AS recovery_factor,
+          round(CASE WHEN max(max_equity) > 0 THEN
+            max(abs(max_drawdown)) / max(max_equity) * 100 END, 6) AS max_dd_pct,
+          arg_max(name, abs(max_drawdown)) AS max_drawdown_scenario,
+          arg_max(name, max_equity) AS max_equity_scenario,
+          round(sum(total_spread_cost), 4) AS total_spread_cost,
+          round(sum(total_commission), 4) AS total_commission,
+          round(sum(total_swap), 4) AS total_swap,
+          round(sum(total_spread_cost) / sum(n_trades), 6) AS avg_spread,
+          sum(coalesce(orders_sent, 0))::BIGINT AS orders_sent,
+          sum(coalesce(orders_executed, 0))::BIGINT AS orders_executed,
+          sum(coalesce(orders_rejected, 0))::BIGINT AS orders_rejected,
+          sum(coalesce(sl_tp_triggered, 0))::BIGINT AS sl_tp_triggered,
+          sum(coalesce(total_resolved, 0))::BIGINT AS pending_total_resolved,
+          sum(coalesce(total_filled, 0))::BIGINT AS pending_total_filled,
+          round(sum(avg_latency_ms * latency_count) /
+            sum(CASE WHEN avg_latency_ms IS NOT NULL THEN latency_count END), 6)
+            AS pending_avg_latency_ms,
+          round(min(min_latency_ms), 2) AS pending_min_latency_ms,
+          round(max(max_latency_ms), 2) AS pending_max_latency_ms
+        FROM j GROUP BY currency ORDER BY currency"""),
+      "Rich portfolio aggregate: balances/costs/latency roll-up (SURVEY A10)"),
+
+    // A15: per-regime metric breakdown; windows without a regime excluded.
+    "q63_regime_breakdown" -> QueryDef(
+      (s, dir) => {
+        val windows = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            unix_millis(date_trunc("day", col("ts_utc"))).as("day_ms"))
+          .agg((sum(col("value")) - 100.0).as("metric"))
+          .withColumn("regime",
+            when((col("day_ms") / 86400000L % 5) === 0, lit(""))
+              .otherwise(concat(lit("regime_"),
+                (col("day_ms") / 86400000L % 4).cast("long").cast("string"))))
+        Reports.regimeBreakdown(windows, Seq.empty, "metric")
+          .select(col("regime"), col("window_count"),
+            round(col("mean_metric"), 6).as("mean_metric"),
+            round(col("pct_profitable"), 6).as("pct_profitable"))
+          .orderBy(col("regime"))
+      },
+      Some(s"""WITH $BaseCte,
+        w AS (SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms,
+            sum(value) - 100.0 AS metric
+          FROM base GROUP BY 1, 2),
+        r AS (SELECT *, CASE WHEN (day_ms // 86400000) % 5 = 0 THEN ''
+            ELSE 'regime_' || ((day_ms // 86400000) % 4)::VARCHAR END AS regime
+          FROM w)
+        SELECT regime, count(*) AS window_count,
+          round(avg(metric), 6) AS mean_metric,
+          round(sum(CASE WHEN metric > 0 THEN 1 ELSE 0 END)::DOUBLE
+            / count(*) * 100, 6) AS pct_profitable
+        FROM r WHERE regime IS NOT NULL AND regime != ''
+        GROUP BY regime ORDER BY regime"""),
+      "Per-regime metric breakdown, pct profitable x100 (SURVEY A15)"),
+
+    // A18: per-sweep summaries — run counts, ok/error split, duration
+    // span, head fields from the first (min run_id) row.
+    "q64_sweep_summary" -> QueryDef(
+      (s, dir) => {
+        val ledger = Tables.orders(s, dir).select(
+          when(col("o_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("swp_"), (col("o_custkey") % 3).cast("string")))
+            .as("sweep_id"),
+          concat(lit("run_"), (col("o_orderkey") % 500).cast("string")).as("run_id"),
+          when(col("o_orderkey") % 13 === 0, "error").otherwise("ok").as("status"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("run_ts_ms"),
+          // functionally dependent on run_id so min_by ties are harmless
+          concat(lit("dl_"), (col("o_orderkey") % 500 % 3).cast("string"))
+            .as("decision_logic_type"),
+          lit("sharpe").as("objective_name"))
+        Reports.sweepSummaries(ledger)
+          .select(col("sweep_id"), col("started_ms"),
+            round(col("duration_s"), 3).as("duration_s"), col("run_count"),
+            col("ok_count"), col("error_count"), col("decision_logic_type"),
+            col("objective"))
+          .orderBy(col("sweep_id"))
+      },
+      Some("""WITH ledger AS (SELECT
+          CASE WHEN o_custkey % 10 = 0 THEN NULL
+               ELSE 'swp_' || (o_custkey % 3)::VARCHAR END AS sweep_id,
+          'run_' || (o_orderkey % 500)::VARCHAR AS run_id,
+          CASE WHEN o_orderkey % 13 = 0 THEN 'error' ELSE 'ok' END AS status,
+          epoch_ms(o_orderdate::TIMESTAMP) AS run_ts_ms,
+          'dl_' || (o_orderkey % 500 % 3)::VARCHAR AS decision_logic_type,
+          'sharpe' AS objective_name
+        FROM orders)
+        SELECT sweep_id, min(run_ts_ms) AS started_ms,
+          round((max(run_ts_ms) - min(run_ts_ms)) / 1000.0, 3) AS duration_s,
+          count(DISTINCT run_id) AS run_count,
+          count(DISTINCT run_id) - count(DISTINCT CASE WHEN status = 'error'
+            THEN run_id END) AS ok_count,
+          count(DISTINCT CASE WHEN status = 'error' THEN run_id END)
+            AS error_count,
+          arg_min(decision_logic_type, run_id) AS decision_logic_type,
+          arg_min(objective_name, run_id) AS objective
+        FROM ledger WHERE sweep_id IS NOT NULL AND sweep_id != ''
+        GROUP BY sweep_id ORDER BY sweep_id"""),
+      "Per-sweep ledger summaries: counts + duration span (SURVEY A18)"),
+
+    // ST8: stale-data stress — carve [start,end) outage windows from the
+    // signal series; summarize survivors per symbol.
+    "q65_stale_slice" -> QueryDef(
+      (s, dir) => {
+        val signals = Tables.events(s, dir).select(
+          col("ts_ms").as("collected_msc"),
+          concat(lit("s"), (col("user_id") % 5).cast("string")).as("symbol"),
+          col("value"))
+        val carved = StaleData.carveSignalSeries(signals, Seq(
+          (TrimStartMs, TrimStartMs + 3L * 86400000L),
+          (TrimStartMs + 10L * 86400000L, TrimStartMs + 12L * 86400000L)))
+        carved.groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("collected_msc")).as("first_msc"),
+            max(col("collected_msc")).as("last_msc"),
+            round(sum(round(col("value") * 10000).cast("long")) / 10000.0, 4)
+              .as("sum_value"))
+          .orderBy(col("symbol"))
+      },
+      Some(s"""WITH $BaseCte,
+        sig AS (SELECT ts_ms AS collected_msc,
+            's' || (user_id % 5)::VARCHAR AS symbol, value FROM base),
+        carved AS (SELECT * FROM sig WHERE NOT (
+          (collected_msc >= $TrimStartMs AND
+           collected_msc < ${TrimStartMs + 3L * 86400000L}) OR
+          (collected_msc >= ${TrimStartMs + 10L * 86400000L} AND
+           collected_msc < ${TrimStartMs + 12L * 86400000L})))
+        SELECT symbol, count(*) AS n_kept, min(collected_msc) AS first_msc,
+          max(collected_msc) AS last_msc,
+          round(sum(round(value * 10000)::BIGINT) / 10000.0, 4) AS sum_value
+        FROM carved GROUP BY symbol ORDER BY symbol"""),
+      "Stale-data stress: carve outage windows, [start,end) (SURVEY ST8)"),
+
+    // F8: pip-size derivation — tick/digits/pip-mode rule over part.
+    "q66_pip_size" -> QueryDef(
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .withColumn("digits", (col("p_partkey") % 7).cast("int"))
+          .withColumn("tick_size",
+            lit(0.00001) * pow(lit(10.0), (col("p_partkey") % 3).cast("double")))
+          .withColumn("pip_mode",
+            when(col("p_partkey") % 2 === 0, TradingMath.PipModeFractional)
+              .otherwise(TradingMath.PipModeTick))
+        p.withColumn("pip_size",
+            TradingMath.pipSize(col("tick_size"), col("digits"), col("pip_mode")))
+          .groupBy(col("digits"), col("pip_mode"))
+          .agg(count(lit(1)).as("n_symbols"),
+            round(max(col("pip_size")), 8).as("max_pip"),
+            round(min(col("pip_size")), 8).as("min_pip"))
+          .orderBy(col("digits"), col("pip_mode"))
+      },
+      Some("""WITH p AS (SELECT
+          (p_partkey % 7)::INT AS digits,
+          0.00001 * power(10.0, (p_partkey % 3)::DOUBLE) AS tick_size,
+          CASE WHEN p_partkey % 2 = 0 THEN 'FRACTIONAL_PIP' ELSE 'TICK' END
+            AS pip_mode
+        FROM part),
+        d AS (SELECT *, CASE WHEN pip_mode = 'TICK' THEN tick_size
+            WHEN digits IN (3, 5) THEN tick_size * 10 ELSE tick_size END
+            AS pip_size
+          FROM p)
+        SELECT digits, pip_mode, count(*) AS n_symbols,
+          round(max(pip_size), 8) AS max_pip, round(min(pip_size), 8) AS min_pip
+        FROM d GROUP BY 1, 2 ORDER BY digits, pip_mode"""),
+      "Pip-size derivation: tick/digits/pip-mode rule (SURVEY F8)"),
+
+    // S12: the bars read-API slice — newest maxBars inside [from, to],
+    // returned ascending.
+    "q67_bars_api" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bars = Ohlcv.render(ev, Seq.empty,
+            unix_millis(date_trunc("hour", col("ts_utc"))),
+            col("value"), col("value"), col("ts_ns"), col("event_id"))
+          .withColumnRenamed("bucket", "ts_ms")
+          .withColumn("timeframe", lit("H1"))
+        Serve.barsSlice(bars, "H1", TrimStartMs, TrimEndMs, maxBars = 48)
+          .select(col("ts_ms"), col("open"), col("high"), col("low"),
+            col("close"), round(col("volume"), 2).as("volume"),
+            col("tick_count"))
+      },
+      Some(s"""WITH $BaseCte,
+        r AS (SELECT *, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+          row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                             ORDER BY ts_ns, event_id) AS rn_a,
+          row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                             ORDER BY ts_ns DESC, event_id DESC) AS rn_d
+          FROM base),
+        bars AS (SELECT bucket_ms AS ts_ms,
+          max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rn_d = 1 THEN value END) AS close,
+          round(sum(value), 2) AS volume, count(*) AS tick_count
+          FROM r GROUP BY bucket_ms),
+        capped AS (SELECT * FROM bars
+          WHERE ts_ms BETWEEN $TrimStartMs AND $TrimEndMs
+          ORDER BY ts_ms DESC LIMIT 48)
+        SELECT * FROM capped ORDER BY ts_ms"""),
+      "Bars read-API slice: newest maxBars in range, ascending (SURVEY S12)")
   )
 }

@@ -60,6 +60,101 @@ object Reports {
       max(col("avg_latency_ms")).as("max_latency_ms"),
       sum(col("n_orders")).as("n_orders"))
 
+  /** A10: rich portfolio aggregate — one row per currency composing the
+    * per-unit portfolio rows with execution and pending-order stats
+    * (`report_aggregators.py:157-249` aggregate_full_portfolio). All
+    * ratios recomputed from sums; drawdown/equity attribution via
+    * max_by; weighted-avg latency = sum(avg·n)/sum(n), never the mean
+    * of means.
+    *
+    * `units`: (currency, name, n_trades, n_wins, n_losses, sum_profit,
+    *   sum_loss, n_long, n_short, initial_balance, current_balance,
+    *   total_spread_cost, total_commission, total_swap, max_drawdown,
+    *   max_equity).
+    * `execStats`: (name, orders_sent, orders_executed, orders_rejected,
+    *   sl_tp_triggered). `pending`: (name, total_resolved, total_filled,
+    *   avg_latency_ms, latency_count, min_latency_ms, max_latency_ms).
+    * Both joined by unit name (left — units without stats contribute 0).
+    */
+  def richPortfolioAggregate(units: DataFrame, execStats: DataFrame,
+                             pending: DataFrame): DataFrame = {
+    val joined = units
+      .join(broadcast(execStats), Seq("name"), "left")
+      .join(broadcast(pending), Seq("name"), "left")
+    joined.groupBy(col("currency")).agg(
+      count(lit(1)).as("n_units"),
+      sum(col("n_trades")).as("total_trades"),
+      sum(col("n_long")).as("total_long_trades"),
+      sum(col("n_short")).as("total_short_trades"),
+      (sum(col("sum_profit")) /
+        sum(col("n_wins")).cast("double")).as("avg_win"),
+      (abs(sum(col("sum_loss"))) /
+        sum(col("n_losses")).cast("double")).as("avg_loss"),
+      sum(col("initial_balance")).as("initial_balance"),
+      sum(col("current_balance")).as("final_balance"),
+      (sum(col("initial_balance")) / count(lit(1))).as("avg_initial"),
+      (sum(col("current_balance")) - sum(col("initial_balance")))
+        .as("balance_pnl"),
+      max_by(col("name"), abs(col("max_drawdown"))).as("max_drawdown_scenario"),
+      max(abs(col("max_drawdown"))).as("max_dd_abs"),
+      max_by(col("name"), col("max_equity")).as("max_equity_scenario"),
+      max(col("max_equity")).as("max_equity"),
+      sum(col("total_spread_cost")).as("total_spread_cost"),
+      sum(col("total_commission")).as("total_commission"),
+      sum(col("total_swap")).as("total_swap"),
+      (sum(col("total_spread_cost")) /
+        sum(col("n_trades")).cast("double")).as("avg_spread"),
+      sum(coalesce(col("orders_sent"), lit(0L))).as("orders_sent"),
+      sum(coalesce(col("orders_executed"), lit(0L))).as("orders_executed"),
+      sum(coalesce(col("orders_rejected"), lit(0L))).as("orders_rejected"),
+      sum(coalesce(col("sl_tp_triggered"), lit(0L))).as("sl_tp_triggered"),
+      sum(coalesce(col("total_resolved"), lit(0L))).as("pending_total_resolved"),
+      sum(coalesce(col("total_filled"), lit(0L))).as("pending_total_filled"),
+      (sum(col("avg_latency_ms") * col("latency_count")) /
+        sum(when(col("avg_latency_ms").isNotNull, col("latency_count"))))
+        .as("pending_avg_latency_ms"),
+      min(col("min_latency_ms")).as("pending_min_latency_ms"),
+      max(col("max_latency_ms")).as("pending_max_latency_ms"))
+      .withColumn("balance_pnl_pct",
+        when(col("initial_balance") > 0,
+          col("balance_pnl") / col("initial_balance") * 100))
+      .withColumn("recovery_factor",
+        when(col("max_dd_abs") =!= 0, col("balance_pnl") / col("max_dd_abs")))
+      .withColumn("max_dd_pct",
+        when(col("max_equity") > 0, col("max_dd_abs") / col("max_equity") * 100))
+  }
+
+  /** A15: per-regime metric breakdown (`robustness_report_builder.py:
+    * 163-180`): windows without a regime are excluded; pct_profitable is
+    * ×100 as the reference reports it. */
+  def regimeBreakdown(windows: DataFrame, keys: Seq[String],
+                      metric: String): DataFrame =
+    windows.filter(col("regime").isNotNull && col("regime") =!= "")
+      .groupBy((keys.map(col) :+ col("regime")): _*)
+      .agg(count(lit(1)).as("window_count"),
+        avg(col(metric)).as("mean_metric"),
+        (sum(when(col(metric) > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)) * 100).as("pct_profitable"))
+
+  /** A18: per-sweep summary for the sweep list view
+    * (`optimization_analysis.py:43-79`): distinct run counts, ok/error
+    * split, duration from the run-timestamp span, head fields from the
+    * first run (min run_id — deterministic where the reference takes
+    * arrival order). Rows without a sweep_id are ignored. */
+  def sweepSummaries(ledger: DataFrame): DataFrame =
+    ledger.filter(col("sweep_id").isNotNull && col("sweep_id") =!= "")
+      .groupBy(col("sweep_id")).agg(
+        min(col("run_ts_ms")).as("started_ms"),
+        ((max(col("run_ts_ms")) - min(col("run_ts_ms"))) / 1000.0)
+          .as("duration_s"),
+        countDistinct(col("run_id")).as("run_count"),
+        countDistinct(when(col("status") === "error", col("run_id")))
+          .as("error_count"),
+        min_by(col("decision_logic_type"), col("run_id"))
+          .as("decision_logic_type"),
+        min_by(col("objective_name"), col("run_id")).as("objective"))
+      .withColumn("ok_count", col("run_count") - col("error_count"))
+
   /** A13: robustness distribution over a per-window metric column:
     * mean/median/population stddev/% profitable/best/worst/CoV.
     * (`robustness_report_builder.py:109-130`). */

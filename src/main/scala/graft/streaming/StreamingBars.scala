@@ -67,36 +67,45 @@ object IncrementalBars {
     b.copy(high = math.max(b.high, t.price), low = math.min(b.low, t.price),
       close = t.price, volume = b.volume + t.volume, tickCount = b.tickCount + 1)
 
+  /** The per-group fold shared by cold and warm-started renders: fold
+    * this micro-batch's ticks into the open-bar state, emitting each
+    * completed bar exactly once, in bucket order. */
+  private[streaming] def foldGroup(barMs: Long)(
+      key: String, it: Iterator[Tick], state: GroupState[OpenBar])
+      : Iterator[Bar] = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Bar]
+    var open = state.getOption.orNull
+    it.foreach { t =>
+      val bs = bucketStart(t.tsMs, barMs)
+      if (open == null) {
+        open = OpenBar(bs, t.price, t.price, t.price, t.price, t.volume, 1L)
+      } else if (bs == open.barStartMs) {
+        open = update(open, t)
+      } else {
+        // bucket advanced: close the forming bar (gap buckets emit
+        // nothing — ST3), start a new one
+        closed += Bar(key, open.barStartMs, open.open, open.high,
+          open.low, open.close, open.volume, open.tickCount)
+        open = OpenBar(bs, t.price, t.price, t.price, t.price, t.volume, 1L)
+      }
+    }
+    if (open != null) state.update(open)
+    closed.iterator
+  }
+
   /** Stateful streaming render: emits each completed bar exactly once, in
     * order, when the first tick of a later bucket arrives. Ticks must be
     * in event-time order per key within each micro-batch (upstream sorted;
     * out-of-order feeds need a watermark-buffered variant).
-    * The still-forming bar stays in state and is never emitted early. */
+    * The still-forming bar stays in state and is never emitted early.
+    * With a `checkpointLocation` on the query, the open-bar state is
+    * snapshot per batch and restored on restart (ST11) — a bar spanning
+    * a restart closes exactly once. */
   def renderTicks(ticks: Dataset[Tick], barMs: Long,
                   outputMode: OutputMode = OutputMode.Append()): Dataset[Bar] = {
     import ticks.sparkSession.implicits._
     ticks.groupByKey(_.key)
       .flatMapGroupsWithState[OpenBar, Bar](
-        outputMode, GroupStateTimeout.NoTimeout()) {
-        (key: String, it: Iterator[Tick], state: GroupState[OpenBar]) =>
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Bar]
-          var open = state.getOption.orNull
-          it.foreach { t =>
-            val bs = bucketStart(t.tsMs, barMs)
-            if (open == null) {
-              open = OpenBar(bs, t.price, t.price, t.price, t.price, t.volume, 1L)
-            } else if (bs == open.barStartMs) {
-              open = update(open, t)
-            } else {
-              // bucket advanced: close the forming bar (gap buckets emit
-              // nothing — ST3), start a new one
-              closed += Bar(key, open.barStartMs, open.open, open.high,
-                open.low, open.close, open.volume, open.tickCount)
-              open = OpenBar(bs, t.price, t.price, t.price, t.price, t.volume, 1L)
-            }
-          }
-          if (open != null) state.update(open)
-          closed.iterator
-      }
+        outputMode, GroupStateTimeout.NoTimeout())(foldGroup(barMs))
   }
 }

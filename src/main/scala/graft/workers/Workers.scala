@@ -18,6 +18,13 @@ import graft.indicators.Indicators
   */
 object Workers {
 
+  /** X2: worker types — INDICATOR workers compute from bars/ticks;
+    * SIGNAL workers look up pre-collected external data by timestamp
+    * (`worker_types.py`, `abstract_signal_worker.py`). */
+  sealed trait WorkerKind
+  case object IndicatorKind extends WorkerKind
+  case object SignalKind extends WorkerKind
+
   sealed trait ParamKind
   case object IntParam extends ParamKind
   case object DoubleParam extends ParamKind
@@ -33,6 +40,7 @@ object Workers {
     * its outputs are valid. */
   trait Worker {
     def name: String
+    def kind: WorkerKind = IndicatorKind
     def params: Seq[ParamDef]
     def warmupBars(config: Map[String, String]): Int
     def transform(df: DataFrame, keys: Seq[String], order: Seq[String],
@@ -132,6 +140,35 @@ object Workers {
       // ATR needs high/low; over a close-only series TR degrades to
       // |close - prev close| which trueRange handles via equal H/L=close.
       Indicators.atr(df, keys, order, close, close, close, c("period").toInt)
+    }
+  }
+
+  /** X2: SIGNAL worker — values attached from a pre-collected external
+    * signal table by as-of lookup (most recent snapshot with
+    * collected_msc <= tick time), never computed from bars; no warmup,
+    * no compute basis (`abstract_signal_worker.py:21-33`). The signal
+    * DataFrame is injected at construction, the framework analogue of
+    * `set_signal_provider`. A lookup older than `staleness_ms` (or a
+    * missing one) is flagged stale — the #434 staleness chain. */
+  final class SignalLookupWorker(signals: DataFrame,
+                                 payload: Seq[String] = Seq("sentiment_score"))
+      extends Worker {
+    val name = "CORE/signal_lookup"
+    override def kind: WorkerKind = SignalKind
+    val params = Seq(
+      ParamDef("staleness_ms", IntParam, "21600000", min = Some(0)))
+    def warmupBars(c: Map[String, String]): Int = 0
+    def transform(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  close: String, volume: String,
+                  c: Map[String, String]): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, coalesce}
+      val tsCol = order.head
+      val attached = graft.ops.AsOfJoin.backward(
+        df, signals, keys, tsCol, "collected_msc",
+        payload :+ "collected_msc")
+      attached.withColumn("signal_is_stale",
+        coalesce(col(tsCol) - col("collected_msc") > c("staleness_ms").toLong,
+          lit(true)))
     }
   }
 
