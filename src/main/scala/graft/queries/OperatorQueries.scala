@@ -6,7 +6,7 @@ import graft.Tables
 import graft.bars.Ohlcv
 import graft.functions.TradingMath
 import graft.indicators.Indicators
-import graft.ops.{AsOfJoin, SequentialOps}
+import graft.ops.{AsOfJoin, RangeJoin, SequentialOps}
 import graft.report.Reports
 import graft.serve.Serve
 import graft.signal.Signals
@@ -925,6 +925,65 @@ object OperatorQueries extends QueryPack {
           WHERE ts_ms BETWEEN $TrimStartMs AND $TrimEndMs
           ORDER BY ts_ms DESC LIMIT 48)
         SELECT * FROM capped ORDER BY ts_ms"""),
-      "Bars read-API slice: newest maxBars in range, ascending (SURVEY S12)")
+      "Bars read-API slice: newest maxBars in range, ascending (SURVEY S12)"),
+
+    // J3: interval-overlap join via the bucketed range-join — per-user
+    // daily activity spans, cross-user overlapping day pairs.
+    "q68_interval_join" -> QueryDef(
+      (s, dir) => {
+        val spans = Tables.events(s, dir).filter(col("user_id") <= 20)
+          .groupBy(col("user_id"),
+            unix_millis(date_trunc("day", col("ts_utc"))).as("day_ms"))
+          .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+        val a = spans.select(col("user_id").as("user_a"),
+          col("start_ms"), col("end_ms"))
+        val b = spans.select(col("user_id").as("user_b"),
+          col("start_ms").as("b_start"), col("end_ms").as("b_end"))
+        RangeJoin.intervalOverlap(a, b, Seq.empty,
+            "start_ms", "end_ms", "b_start", "b_end", 86400000L)
+          .filter(col("user_a") < col("user_b"))
+          .groupBy(col("user_a"), col("user_b"))
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("user_a"), col("user_b"))
+      },
+      Some(s"""WITH $BaseCte,
+        spans AS (SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms,
+            min(ts_ms) AS s, max(ts_ms) AS e
+          FROM base WHERE user_id <= 20 GROUP BY 1, 2)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+          count(*) AS n_overlaps
+        FROM spans a JOIN spans b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+        GROUP BY 1, 2 ORDER BY user_a, user_b"""),
+      "Interval-overlap join, bucketed (no nested-loop) (SURVEY J3)"),
+
+    // U3: requirement dedup — merge overlapping per-user hourly intervals
+    // (padded past the next hour so consecutive active hours fuse).
+    "q69_interval_merge" -> QueryDef(
+      (s, dir) => {
+        val hours = Tables.events(s, dir).filter(col("user_id") <= 20)
+          .select(col("user_id"),
+            unix_millis(date_trunc("hour", col("ts_utc"))).as("start_ms"))
+          .distinct()
+          .withColumn("end_ms", col("start_ms") + 6300000L)
+        RangeJoin.mergeIntervals(hours, Seq("user_id"), "start_ms", "end_ms")
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some(s"""WITH $BaseCte,
+        d AS (SELECT DISTINCT user_id, epoch_ms(date_trunc('hour', ts)) AS start_ms
+          FROM base WHERE user_id <= 20),
+        i AS (SELECT user_id, start_ms, start_ms + 6300000 AS end_ms FROM d),
+        n AS (SELECT *, CASE WHEN start_ms > max(end_ms) OVER
+            (PARTITION BY user_id ORDER BY start_ms, end_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS nw FROM i),
+        g AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+            ORDER BY start_ms, end_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS island
+          FROM n)
+        SELECT user_id, min(start_ms) AS start_ms, max(end_ms) AS end_ms,
+          count(*) AS n_merged
+        FROM g GROUP BY user_id, island ORDER BY user_id, start_ms"""),
+      "Merge overlapping intervals per key, islands pass (SURVEY U3)")
   )
 }
