@@ -33,13 +33,22 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
-      name -> times(times.length / 2)
+      // true median: mean of the two middle samples when runs is even
+      val mid = times.length / 2
+      val med = if (times.length % 2 == 1) times(mid)
+                else (times(mid - 1) + times(mid)) / 2.0
+      name -> med
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: millisecond resolution is plenty, and the compact
+    // line survives log-tail capture (a full-precision 69-query line is
+    // ~3.3 KB and gets truncated by downstream tail buffers).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with "[info] ", which breaks naive line-parsers —
     // also persist the JSON to a file so consumers never scrape logs.

@@ -46,6 +46,85 @@ object Catalog {
       .withColumn("available",
         col("data_start_ms") <= startMs && col("data_end_ms") >= endMs)
 
+  /** S3: snappy parquet write plus a key-value metadata manifest. The
+    * reference embeds custom KV pairs in the parquet footer
+    * (`tick_importer.py:380-411`); Spark's writer owns its footers, so the
+    * lineage KV (source file, import version, tick counts…) lives in a
+    * `_manifest.json` sidecar in the dataset directory — same contract
+    * (open dataset → read its KV), and visible to any JSON reader.
+    * Written through the path's Hadoop FileSystem, so it works on every
+    * scheme the data write accepts. */
+  def writeWithManifest(df: DataFrame, path: String,
+                        meta: Map[String, String]): Unit = {
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
+      .mkString("{", ",", "}")
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read back a [[writeWithManifest]] manifest as a flat KV map. Read
+    * through the Hadoop FileSystem (Spark's readers treat `_`-prefixed
+    * files as hidden, which is exactly why the sidecar is safe to live in
+    * the dataset directory) and parsed with a flat-string-JSON scanner
+    * matching the writer's format. */
+  def readManifest(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    parseFlatJson(json)
+  }
+
+  /** Minimal parser for the writer's own output: {"k":"v",...} with
+    * backslash escapes inside strings. */
+  private[catalog] def parseFlatJson(json: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    def readString(): String = {
+      val sb = new StringBuilder
+      require(json(i) == '"'); i += 1
+      while (json(i) != '"') {
+        if (json(i) == '\\') {
+          i += 1
+          json(i) match {
+            case 'u' => sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
+            case c => sb.append(c)
+          }
+        } else sb.append(json(i))
+        i += 1
+      }
+      i += 1 // closing quote
+      sb.toString
+    }
+    while (i < json.length && json(i) != '"') i += 1
+    while (i < json.length && json(i) == '"') {
+      val k = readString()
+      require(json(i) == ':'); i += 1
+      val v = readString()
+      out(k) = v
+      while (i < json.length && (json(i) == ',' || json(i) == ' ')) i += 1
+      if (i < json.length && json(i) == '}') i = json.length
+    }
+    out.toMap
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Config fingerprint for derived-table cache identity (F17):
     * sha2(to_json(struct)) over sorted keys — stable across runs, so a
     * cache hit means "same config produced this table"

@@ -25,18 +25,18 @@ object Dedup {
   def tokens(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), posexplode(split(col(text), " ")).as(Seq("pos", "token")))
 
-  /** Distinct word n-gram shingles per document (default n=3). */
+  /** Distinct word n-gram shingles per document (default n=3).
+    * Computed array-natively (`transform` over the split token array) so
+    * shingling is a pure per-row map — the previous posexplode + window
+    * `lead` version shuffled the whole token stream once per call just to
+    * line up adjacent tokens that were already adjacent in the array.
+    * The only shuffle left is the `distinct()`. */
   def shingles(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val parts = (0 until n).map {
-      case 0 => col("token")
-      case i => lead(col("token"), i).over(w)
-    }
-    tokens(df, id, text)
-      .withColumn("__last", parts.last)
-      .withColumn("shingle", concat_ws(" ", parts.init :+ col("__last"): _*))
-      .filter(col("__last").isNotNull)
-      .select(col(id), col("shingle"))
+    val arr = split(col(text), " ")
+    df.select(col(id), explode(when(size(arr) >= n,
+        transform(sequence(lit(0), size(arr) - n),
+          i => concat_ws(" ", slice(arr, i + lit(1), lit(n))))))
+        .as("shingle"))
       .distinct()
   }
 

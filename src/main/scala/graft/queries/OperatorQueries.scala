@@ -817,9 +817,9 @@ object OperatorQueries extends QueryPack {
         SELECT sweep_id, min(run_ts_ms) AS started_ms,
           round((max(run_ts_ms) - min(run_ts_ms)) / 1000.0, 3) AS duration_s,
           count(DISTINCT run_id) AS run_count,
-          count(DISTINCT run_id) - count(DISTINCT CASE WHEN status = 'error'
+          count(DISTINCT run_id) - count(DISTINCT CASE WHEN status != 'ok'
             THEN run_id END) AS ok_count,
-          count(DISTINCT CASE WHEN status = 'error' THEN run_id END)
+          count(DISTINCT CASE WHEN status != 'ok' THEN run_id END)
             AS error_count,
           arg_min(decision_logic_type, run_id) AS decision_logic_type,
           arg_min(objective_name, run_id) AS objective

@@ -24,9 +24,13 @@ trait QueryPack {
     * compute (md5/tokenize/hash). The testdata tables are one row group
     * each, so the scan yields ONE partition and everything downstream of
     * it that doesn't shuffle would run single-threaded. An explicit
-    * round-robin repartition survives AQE. At cluster scale the reader
-    * already supplies many partitions and this becomes a cheap no-op-ish
-    * rebalance of small rows. */
-  protected def balanced(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * round-robin repartition survives AQE.
+    *
+    * GATED on the scan's actual split count: when the reader already
+    * supplies enough partitions (any real multi-file/cluster input), the
+    * repartition would be a gratuitous full shuffle — so it is skipped. */
+  protected def balanced(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= par) df else df.repartition(par)
+  }
 }

@@ -56,6 +56,57 @@ object VectorQueries extends QueryPack {
         FROM r WHERE rank <= 3 ORDER BY id_a, rank"""),
       "Blocked exact kNN: grid-partitioned block nested-loop, no broadcast"),
 
+    // Embedding-cosine near-dup detection: all pairs clearing the
+    // 6-dp-rounded cosine threshold, via the blocked exact grid (no
+    // collect/broadcast) — the embedding analogue of q27's Jaccard dedup.
+    "q70_embedding_neardup" -> QueryDef(
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          FROM p a, p b WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+        ORDER BY id_a, id_b"""),
+      "Embedding-cosine near-dup pairs >= threshold (blocked exact grid)"),
+
+    // IVF ANN: md5-seeded coarse quantizer (16 cells, probe 4) — the
+    // inverted-file scale path. Deterministic centroids + micro-quantized
+    // cell affinities make this approximate path ORACLE-EXACT (unlike the
+    // LSH path q34, whose recall is spec-checked instead).
+    "q71_ivf_ann" -> QueryDef(
+      (s, dir) => Similarity.ivfCosineTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3, cells = 16, probes = 4)
+        .orderBy(col("id_a"), col("rank")),
+      Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        comp AS (SELECT c.range::INT AS c, j.range::INT AS j,
+            ('0x' || substr(md5('ivf:' || c.range::VARCHAR || ':'
+               || j.range::VARCHAR), 1, 8))::BIGINT
+              / 2147483648.0 - 1.0 AS comp
+          FROM range(16) c, range(64) j),
+        cent AS (SELECT c, list(comp ORDER BY j) AS cv FROM comp GROUP BY c),
+        dots AS (SELECT p.vec_id, cent.c,
+            floor(list_dot_product(p.v, cent.cv) * 1e6)::BIGINT AS q
+          FROM p, cent),
+        ord AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY q DESC, c) AS rn FROM dots),
+        members AS (SELECT vec_id, c FROM ord WHERE rn = 1),
+        probes AS (SELECT vec_id, c FROM ord WHERE rn <= 4),
+        cand AS (SELECT pr.vec_id AS id_a, m.vec_id AS id_b
+          FROM probes pr JOIN members m ON pr.c = m.c
+          WHERE pr.vec_id <> m.vec_id),
+        scored AS (SELECT cand.id_a, cand.id_b,
+            list_cosine_similarity(a.v, b.v) AS cosine
+          FROM cand JOIN p a ON cand.id_a = a.vec_id
+                    JOIN p b ON cand.id_b = b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                ORDER BY cosine DESC, id_b) AS rank FROM scored)
+        SELECT id_a, id_b, rank, round(cosine, 6) AS cosine
+        FROM r WHERE rank <= 3 ORDER BY id_a, rank"""),
+      "IVF coarse-quantizer ANN top-k (oracle-exact, md5-seeded centroids)"),
+
     "q35_label_centroids" -> QueryDef(
       (s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir), "label",
           "embedding")

@@ -148,7 +148,10 @@ object Reports {
         ((max(col("run_ts_ms")) - min(col("run_ts_ms"))) / 1000.0)
           .as("duration_s"),
         countDistinct(col("run_id")).as("run_count"),
-        countDistinct(when(col("status") === "error", col("run_id")))
+        // status != "ok" (not status == "error"): matches sweepRanking's
+        // convention and stays correct for ledgers that carry annotated
+        // statuses like "error: <msg>" from older writers.
+        countDistinct(when(col("status") =!= "ok", col("run_id")))
           .as("error_count"),
         min_by(col("decision_logic_type"), col("run_id"))
           .as("decision_logic_type"),

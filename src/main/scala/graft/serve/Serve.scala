@@ -57,10 +57,15 @@ object Serve {
                      name: String): DataFrame =
     spark.read.json(s"$storeDir/$name")
 
-  /** S13: list stored report names (the 12-endpoint store's index view). */
+  /** S13: list stored report names (the 12-endpoint store's index view).
+    * Listed via the Hadoop FileSystem of the store URI so the index works
+    * on every scheme the sink accepts (file://, hdfs://, s3a://…), not
+    * just local paths. */
   def listReports(spark: SparkSession, storeDir: String): Seq[String] = {
-    val dir = new java.io.File(storeDir)
-    if (!dir.isDirectory) Seq.empty
-    else dir.listFiles.filter(_.isDirectory).map(_.getName).toSeq.sorted
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
   }
 }

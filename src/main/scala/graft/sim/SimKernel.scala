@@ -580,9 +580,11 @@ object SimKernel {
         if (clipped) ticksClipped += 1
         else {
           // ---- (3) algo path: decision logic ----
+          // clear AFTER the callback: ctx.closedBars is a lazy view over
+          // pendingCloses and must see this tick's closes when read
           val ctx = buildCtx(t, equity)
-          pendingCloses.clear()
           execDecisions(logic.onTick(ctx), t.bid, t.ask, t.timeMsc)
+          pendingCloses.clear()
         }
       }
 

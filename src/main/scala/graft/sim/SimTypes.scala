@@ -77,16 +77,30 @@ case class KernelBar(timeframeMs: Long, barStartMs: Long, open: Double,
 /** Strategy context visible to the decision logic: open positions, a
   * rolling window of recent mid prices (for in-kernel indicators), the
   * bars CLOSED by this tick (ST2 — each fires exactly once, in order),
-  * and the currently forming bar per timeframe. */
+  * and the currently forming bar per timeframe.
+  *
+  * Views are LAZY (by-name): the kernel hands the context to every
+  * non-clipped tick, and materializing all six views per tick dominated
+  * the replay profile for strategies that read one or two of them. Each
+  * view snapshots on first read and is stable for the rest of the
+  * callback; reads are only valid DURING the onTick/onHeartbeat call
+  * (the kernel mutates its buffers between ticks). */
 final class DecisionContext(
     val tick: SimTick,
     val tickIndex: Long,
-    val openPositions: Seq[OpenPosition],
-    val recentMids: IndexedSeq[Double],
-    val closedBars: Seq[KernelBar] = Seq.empty,
-    val formingBars: Map[Long, KernelBar] = Map.empty,
-    val pendingOrders: Seq[PendingOrderView] = Seq.empty,
-    val account: AccountInfo = AccountInfo(0, 0, 0, 0))
+    openPositions0: => Seq[OpenPosition],
+    recentMids0: => IndexedSeq[Double],
+    closedBars0: => Seq[KernelBar] = Seq.empty,
+    formingBars0: => Map[Long, KernelBar] = Map.empty,
+    pendingOrders0: => Seq[PendingOrderView] = Seq.empty,
+    account0: => AccountInfo = AccountInfo(0, 0, 0, 0)) {
+  lazy val openPositions: Seq[OpenPosition] = openPositions0
+  lazy val recentMids: IndexedSeq[Double] = recentMids0
+  lazy val closedBars: Seq[KernelBar] = closedBars0
+  lazy val formingBars: Map[Long, KernelBar] = formingBars0
+  lazy val pendingOrders: Seq[PendingOrderView] = pendingOrders0
+  lazy val account: AccountInfo = account0
+}
 
 /** The X5 plugin surface: deterministic, serializable strategy.
   * Heartbeats (ST6, #360): an opt-in strategy also receives ghost-passes

@@ -147,6 +147,116 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every (id_a < id_b) pair whose
+    * cosine, rounded to 6 dp, clears `threshold` — the embedding analogue
+    * of the n-gram Jaccard near-dup detector. Same fully-distributed
+    * block nested-loop grid as [[cosineTopKBlocked]] (no collect, no
+    * broadcast): pairs are scored once (the a.id < b.id half of the grid),
+    * shuffle volume stays linear in the replication factors. Thresholding
+    * on the ROUNDED value keeps the cut deterministic across engines. */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+                         threshold: Double, probeBlocks: Int = 8,
+                         buildBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+    val aRep = vecs.flatMap { a =>
+      val pb = math.floorMod(a.id, probeBlocks).toInt
+      (0 until buildBlocks).iterator.map(bb => (pb * buildBlocks + bb, a))
+    }
+    val bRep = vecs.flatMap { b =>
+      val bb = math.floorMod(b.id, buildBlocks).toInt
+      (0 until probeBlocks).iterator.map(pb => (pb * buildBlocks + bb, b))
+    }
+    aRep.groupByKey(_._1)
+      .cogroup(bRep.groupByKey(_._1)) { (_, as, bs) =>
+        val block = bs.map(_._2).toArray
+        as.flatMap { case (_, a) =>
+          block.iterator
+            .filter(b => a.id < b.id)
+            .map(b => (a.id, b.id, cosine(a, b)))
+            .filter { case (_, _, c) =>
+              BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble >= threshold
+            }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer scale
+    * path: assign every vector to its nearest of `cells` deterministic
+    * centroids, probe the `probes` nearest cells per query, scan only
+    * those cells' members.
+    *
+    *   - centroids are md5-seeded ([[ivfComponent]]) — no training pass,
+    *     and the same literals are computable in SQL, so unlike
+    *     hyperplane LSH this ANN path is ORACLE-EXACT;
+    *   - cell-affinity dots are micro-quantized (`floor(dot·1e6)`) before
+    *     the argmax so last-bit summation differences between engines
+    *     can't flip an assignment;
+    *   - one shuffle of (cell, vector) rows, replication factor =
+    *     `probes`; each cell task scans only its member block — at scale,
+    *     `cells` grows ~√n, keeping per-task work flat.
+    *
+    * Recall < 1 by construction: only members of probed cells compete. */
+  def ivfCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
+                    cells: Int = 16, probes: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // (cell, isMember, vec): each vector lands in its `probes` best cells
+    // as a probe; its single best cell (rank 0) also marks it a member.
+    val reps = vecs.mapPartitions { it =>
+      var cent: Array[Array[Double]] = null
+      it.flatMap { a =>
+        if (cent == null || cent(0).length < a.v.length)
+          cent = centroidMatrix(cells, a.v.length)
+        val q = new Array[Long](cells)
+        var c = 0
+        while (c < cells) {
+          var s = 0.0; var j = 0
+          while (j < a.v.length) { s += a.v(j) * cent(c)(j); j += 1 }
+          q(c) = math.floor(s * 1e6).toLong
+          c += 1
+        }
+        val order = (0 until cells).sortBy(c => (-q(c), c))
+        order.take(probes).zipWithIndex.iterator
+          .map { case (cell, i) => (cell, i == 0, a) }
+      }
+    }
+    val partials = reps.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val block = rows.collect { case (_, true, v) => v }
+        rows.iterator.flatMap(r => topkAgainst(r._3, block, k))
+      }
+      .toDF("id_a", "id_b", "cosine")
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic IVF centroid component for (cell, dim) in [-1, 1):
+    * the [[planeComponent]] md5 convention under an "ivf" salt (distinct
+    * from the LSH hyperplane family). */
+  private[similarity] def ivfComponent(cell: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivf:$cell:$dim".getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u.toDouble / 2147483648.0 - 1.0
+  }
+
+  private def centroidMatrix(cells: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(cells, d)((c, j) => ivfComponent(c, j))
+
   /** Deterministic hyperplane component for (plane, dim) in [-1, 1):
     * first 8 md5 hex chars of "plane:dim" as uint32, rescaled. Matches the
     * md5-seeded convention used across the dedup/similarity operators. */
@@ -209,9 +319,14 @@ object Similarity {
         math.log(vecs.count() / 32.0) / math.log(2.0)).toInt)
     val nTables = tables
     val buckets = vecs.mapPartitions { it =>
+      // The matrix is sized to the widest vector seen so far and rebuilt
+      // (values per (plane, dim) are deterministic, so extension is exact)
+      // when a wider vector appears — ragged dimensionality within a
+      // partition must not index past the cached columns.
       var mat: Array[Array[Double]] = null
       it.flatMap { a =>
-        if (mat == null) mat = planeMatrix(nTables * nPlanes, a.v.length)
+        if (mat == null || mat(0).length < a.v.length)
+          mat = planeMatrix(nTables * nPlanes, a.v.length)
         (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a.id))
       }
     }

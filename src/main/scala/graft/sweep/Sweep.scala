@@ -33,11 +33,15 @@ object Sweep {
     combos.zipWithIndex.map { case (m, i) => Combo(f"run_$i%04d", m) }
   }
 
-  /** Sweep ledger row: per (combo, scenario) outcome. */
+  /** Sweep ledger row: per (combo, scenario) outcome. `status` is exactly
+    * "ok" | "error" (the reference ledger convention —
+    * `optimization_analysis.py` matches on the literal); the failure
+    * message lives in `error`, not in the status value. */
   case class SweepRow(
       sweepId: String, runId: String, status: String,
       params: Map[String, String], scenarioId: String,
-      nTrades: Long, netPnl: Double, maxDrawdown: Double)
+      nTrades: Long, netPnl: Double, maxDrawdown: Double,
+      error: String = "")
 
   /** Run every combination against the same persisted tick data.
     * `build` maps a combination to (config, strategy) — the reference's
@@ -78,8 +82,8 @@ object Sweep {
                 r.stats.scenarioId, r.stats.nTrades,
                 r.stats.finalBalance - start, r.stats.maxDrawdown)
             case None =>
-              SweepRow(sweepId, runId, s"error: ${o.error}", params,
-                o.scenarioId, 0L, 0.0, 0.0)
+              SweepRow(sweepId, runId, "error", params,
+                o.scenarioId, 0L, 0.0, 0.0, o.error)
           }
         }
       } catch {
@@ -87,7 +91,7 @@ object Sweep {
         // record the message so the ledger says WHY the combo failed.
         case e: Exception =>
           spark.createDataset(Seq(SweepRow(sweepId, combo.runId,
-            s"error: ${e.getMessage}", combo.params, "", 0L, 0.0, 0.0)))
+            "error", combo.params, "", 0L, 0.0, 0.0, e.getMessage)))
       }
     }
     // empty grid (any key with zero values) → empty ledger, not a crash

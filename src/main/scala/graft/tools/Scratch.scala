@@ -1,27 +1,28 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import graft.SparkEntry
+import graft.{GraftSession, SparkEntry}
 
-/** Dev-only: time + explain individual registered queries.
-  * Usage: runMain graft.tools.Scratch <sfDir> <queryName> [reps] [explain]
-  */
+/** Dev-only profiling harness: `runMain graft.tools.Scratch q19_obv q24_ema`
+  * times each named query `SPARK_GRAFT_RUNS` times (default 3) on
+  * SPARK_GRAFT_SF_DIR and prints per-run seconds — separates plan cost
+  * from JIT/GC noise that single-shot bench numbers can't. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val names = args(1).split(",").toSeq
-    val reps = if (args.length > 2) args(2).toInt else 2
-    val doExplain = args.length > 3 && args(3) == "explain"
-    val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = GraftSession.localFromEnv()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    for (name <- names) {
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      if (doExplain) fn(spark, sfDir).explain("formatted")
-      for (r <- 1 to reps) {
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[scratch] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }
+      println(f"[scratch] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
     spark.stop()
   }

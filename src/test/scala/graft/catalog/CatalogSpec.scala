@@ -36,6 +36,16 @@ class CatalogSpec extends SparkSpecBase {
     assert(a !== c)
   }
 
+  test("writeWithManifest: parquet + KV sidecar round-trips (incl. escapes)") {
+    val dir = Files.createTempDirectory("graft_manifest").toString + "/ds"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val meta = Map("source_file" -> "ticks_\"q1\".json",
+      "import_version" -> "1.3.1", "n_rows" -> "2")
+    Catalog.writeWithManifest(df, dir, meta)
+    assert(spark.read.parquet(dir).count() === 2)
+    assert(Catalog.readManifest(spark, dir) === meta)
+  }
+
   test("cachedDerived: recomputes only when the fingerprint changes") {
     val dir = Files.createTempDirectory("graft_cache").toString + "/derived"
     var computes = 0

@@ -56,6 +56,38 @@ class StreamingBarsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ST11: open-bar state survives a checkpointed restart, closes exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val stream = MemoryStream[IncrementalBars.Tick]
+    def start() = IncrementalBars.renderTicks(stream.toDS(), 60000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[IncrementalBars.Bar], _: Long) =>
+        val rows = ds.collect().map(b => Seq[Any](b.key, b.barStartMs, b.open,
+          b.high, b.low, b.close, b.volume, b.tickCount))
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+      .start()
+    // stop mid-minute: the forming minute-0 bar exists only in state
+    val (first, rest) = ticks.splitAt(30)
+    stream.addData(first)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(sink.isEmpty, "no bucket advanced before the restart")
+    // restart from the checkpoint; feed the rest of minute 0, minute 1,
+    // and the first tick of minute 2 (which closes minute 1)
+    stream.addData(rest.take(91))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // minute-0 bar merges pre-restart state with post-restart ticks (its
+    // open/volume/count prove the snapshot was restored, not rebuilt);
+    // minutes 0 and 1 close exactly once and match the batch renderer
+    assert(sink.sortBy(_(1).asInstanceOf[Long]).toSeq === batchBars.take(2).toSeq)
+  }
+
   test("incremental stateful renderer emits closed bars exactly once, in order") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[IncrementalBars.Tick]
