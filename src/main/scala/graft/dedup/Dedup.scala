@@ -138,14 +138,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash fingerprint over distinct tokens, `bits` ≤ 32.
-    * Token hash = first 8 md5 hex chars as uint32; each bit votes ±1;
-    * fingerprint bit = majority (sum > 0). All bit votes are parallel
-    * aggregate columns in ONE groupBy pass (map-side partial sums) — no
-    * bits× row explosion. Returns (id, simhash: long). */
+  /** SimHash fingerprint over distinct tokens, `bits` ≤ 60.
+    * Token hash = first 15 md5 hex chars as a 60-bit int (wide enough for
+    * production-grade 60-bit fingerprints — banding over narrow
+    * fingerprints collides catastrophically on clustered corpora; 15 hex
+    * chars stay safely inside BIGINT range in both engines); each bit
+    * votes ±1; fingerprint bit = majority (sum > 0). All bit votes are
+    * parallel aggregate columns in ONE groupBy pass (map-side partial
+    * sums) — no bits× row explosion. Returns (id, simhash: long). */
   def simhash(df: DataFrame, id: String, text: String, bits: Int = 16): DataFrame = {
+    require(bits <= 60, s"simhash supports at most 60 bits, got $bits")
     val toks = tokens(df, id, text).select(col(id), col("token")).distinct()
-      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
     val voteAggs = (0 until bits).map { b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1L, 1).otherwise(-1)).as(s"__v$b")
     }

@@ -61,4 +61,54 @@ object AsOfJoin {
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payload.map(col): _*)
   }
+
+  /** Skew-safe [[backward]]: when one key dominates (a single hot symbol
+    * carrying most of the stream), the plain union+window puts that whole
+    * key in ONE task. This variant salts the window by time bucket:
+    *
+    *   1. the as-of window runs per (keys, bucket) — every task is
+    *      bounded by bucket width, regardless of key skew;
+    *   2. left rows with no right row in their own bucket repair from a
+    *      carry table: per (keys, bucket) the last right payload, rolled
+    *      forward over the bucket SPINE (all buckets either side touches)
+    *      with a strictly-earlier-bucket window. The carry table has one
+    *      row per (key, bucket) — tiny next to the data — so its window
+    *      is never the bottleneck.
+    *
+    * Equivalent to [[backward]] when payload values are non-null (the
+    * carry struct can't reproduce `backward`'s per-column null-skipping
+    * for right rows that carry null payload values — use a non-null
+    * surrogate uid payload and join values back, as q48 does). */
+  def backwardSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, payload: Seq[String],
+                     bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val leftCols = left.columns
+    // bucket id = bucket START, via integer arithmetic — epoch-nano
+    // longs exceed double's exact range, so float division would
+    // misassign boundary rows
+    def bucketOf(ts: Column): Column = ts - pmod(ts, lit(bucketMs))
+    val leftB = left.withColumn("__bucket", bucketOf(col(leftTs)))
+    val rightB = right.withColumn("__bucket", bucketOf(col(rightTs)))
+    // (1) bounded within-bucket as-of
+    val within = backward(leftB, rightB, keys :+ "__bucket", leftTs, rightTs, payload)
+    // (2) carry: last right payload per (keys, bucket) — same (ts, payload)
+    // tie-break as backward — rolled forward across the bucket spine
+    val ord = struct(col(rightTs) +: payload.map(col): _*)
+    val carry = rightB.groupBy((keys.map(col) :+ col("__bucket")): _*)
+      .agg(max(ord).as("__last"))
+    val spine = leftB.select((keys.map(col) :+ col("__bucket")): _*)
+      .union(rightB.select((keys.map(col) :+ col("__bucket")): _*))
+      .distinct()
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = spine.join(carry, keys :+ "__bucket", "left")
+      .withColumn("__prev", last(col("__last"), ignoreNulls = true).over(w))
+      .select((keys.map(col) :+ col("__bucket") :+ col("__prev")): _*)
+    val repaired = payload.foldLeft(
+      within.join(carried, keys :+ "__bucket", "left")) { case (df, p) =>
+      df.withColumn(p, coalesce(col(p), col("__prev").getField(p)))
+    }
+    repaired.select(leftCols.filterNot(_ == "__bucket").map(col) ++ payload.map(col): _*)
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.text.TextMetrics
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
@@ -114,12 +115,12 @@ object TextQueries extends QueryPack {
       "MinHash+LSH banded near-dup with exact-Jaccard verification"),
 
     "q29_simhash" -> QueryDef(
-      (s, dir) => Dedup.simhash(balanced(Tables.documents(s, dir)), "doc_id", "text", bits = 32)
+      (s, dir) => Dedup.simhash(balanced(Tables.documents(s, dir)), "doc_id", "text", bits = 60)
         .orderBy(col("doc_id")),
       Some("""WITH toks AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
-        bits AS (SELECT range AS bit FROM range(32)),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        bits AS (SELECT range AS bit FROM range(60)),
         votes AS (
           SELECT doc_id, bit,
             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
@@ -127,16 +128,21 @@ object TextQueries extends QueryPack {
         SELECT doc_id,
           sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id"""),
-      "SimHash 32-bit fingerprint from md5 token hashes"),
+      "SimHash 60-bit fingerprint from md5 token hashes"),
 
+    // 60-bit fingerprint, 4 pigeonhole segments of 15 bits: 32k buckets
+    // per segment. Narrow (8-bit) segments collide catastrophically on a
+    // clustered corpus — candidate generation degraded toward quadratic;
+    // production simhash banding uses wide segments for exactly this
+    // reason.
     "q30_simhash_pairs" -> QueryDef(
       (s, dir) => Dedup.simhashPairs(balanced(Tables.documents(s, dir)), "doc_id", "text",
-          bits = 32, maxDist = 3)
+          bits = 60, maxDist = 3)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH toks AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
-        bits AS (SELECT range AS bit FROM range(32)),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        bits AS (SELECT range AS bit FROM range(60)),
         votes AS (
           SELECT doc_id, bit,
             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
@@ -147,7 +153,7 @@ object TextQueries extends QueryPack {
           FROM votes GROUP BY doc_id),
         segs AS (SELECT range AS seg FROM range(4)),
         banded AS (
-          SELECT doc_id, simhash, seg, (simhash >> (seg * 8)::INT) % 256 AS seg_val
+          SELECT doc_id, simhash, seg, (simhash >> (seg * 15)::INT) % 32768 AS seg_val
           FROM fp CROSS JOIN segs),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -157,7 +163,7 @@ object TextQueries extends QueryPack {
         FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
         WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
         ORDER BY id_a, id_b"""),
-      "SimHash near-dup pairs via pigeonhole segment banding"),
+      "SimHash near-dup pairs via wide pigeonhole segment banding"),
 
     "q31_langid" -> QueryDef(
       (s, dir) => TextMetrics.languageId(balanced(Tables.documents(s, dir)), "doc_id", "text")
@@ -188,6 +194,52 @@ object TextQueries extends QueryPack {
           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
             AS bow_md5
         FROM documents ORDER BY doc_id"""),
-      "Content + bag-of-words document fingerprints")
+      "Content + bag-of-words document fingerprints"),
+
+    // Multimodal binary-column pipeline, oracle-checked: documents are
+    // wrapped as opaque media payloads (deterministic fake header + UTF-8
+    // body), decoded per-partition by the codec stub (payloads never
+    // shuffle), and verified byte-exactly via md5(hex(payload)) — the
+    // decode metadata (width/height/channels) round-trips through the
+    // binary, so the oracle proves the header/codec plumbing, not just
+    // the metadata math.
+    "q72_multimodal" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val w = 16 + (id % 64).toInt * 4
+            val h = 16 + (id % 48).toInt * 4
+            Multimodal.MediaItem(id,
+              if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
+              Multimodal.MediaCodec.encodeFakeHeader(w, h, 3, text.getBytes("UTF-8")))
+          }
+        val meta = Multimodal.decode(media).toDF()
+        val digests = media.toDF()
+          .select(col("media_id"), md5(hex(col("payload"))).as("digest"))
+        meta.join(digests, "media_id")
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("channels"), col("n_bytes"), col("digest"), col("valid"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id::BIGINT AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          (16 + (doc_id % 64) * 4)::INT AS width,
+          (16 + (doc_id % 48) * 4)::INT AS height,
+          3 AS channels,
+          unhex('01'
+            || lpad(to_hex((16 + (doc_id % 64) * 4) // 256), 2, '0')
+            || lpad(to_hex((16 + (doc_id % 64) * 4) % 256), 2, '0')
+            || lpad(to_hex((16 + (doc_id % 48) * 4) // 256), 2, '0')
+            || lpad(to_hex((16 + (doc_id % 48) * 4) % 256), 2, '0')
+            || '03') || text::BLOB AS payload
+          FROM documents)
+        SELECT media_id, kind, width, height, channels,
+          (octet_length(payload))::BIGINT AS n_bytes,
+          md5(upper(hex(payload))) AS digest, TRUE AS valid
+        FROM m ORDER BY media_id"""),
+      "Opaque media payloads: header encode/decode round-trip, byte-exact (multimodal)")
   )
 }

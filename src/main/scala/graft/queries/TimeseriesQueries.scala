@@ -178,6 +178,38 @@ object TimeseriesQueries extends QueryPack {
         ORDER BY t.event_id"""),
       "Backward as-of join, union+window idiom vs native ASOF (SURVEY J1)"),
 
+    // J1 at scale: the SAME as-of semantics through the skew-safe
+    // time-bucket-salted path (bounded tasks under a dominant key, carry
+    // repair across sparse buckets) — verified against the identical
+    // native-ASOF oracle as q18, so the salted rewrite is proven
+    // result-equivalent, not just spec'd.
+    "q73_asof_salted" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val ticks = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("ts_ms"))
+        val signals = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ns"),
+            col("event_id").as("sig_id"), col("value").as("sig_value"),
+            col("ts_ms").as("sig_ts_ms"))
+        // 6h buckets on the nano axis
+        AsOfJoin.backwardSalted(ticks, signals, Seq("user_id"), "ts_ns", "ts_ns",
+            Seq("sig_id", "sig_value", "sig_ts_ms"), bucketMs = 6L * 3600 * 1000 * 1000000L)
+          .withColumn("staleness_ms", col("ts_ms") - col("sig_ts_ms"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("sig_id"), col("sig_value"), col("staleness_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT t.event_id, t.user_id, epoch_ms(t.ts) AS ts_ms,
+          s.sig_id, s.sig_value, epoch_ms(t.ts) - s.sig_ts_ms AS staleness_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS sig_id, value AS sig_value,
+                        epoch_ms(ts) AS sig_ts_ms
+                        FROM events WHERE event_type = 'view') s
+          ON t.user_id = s.user_id AND t.ts >= s.ts
+        ORDER BY t.event_id"""),
+      "Skew-safe bucketed as-of join, result-equal to q18 (SURVEY J1 at scale)"),
+
     // W9: OBV running signed-volume sum.
     "q19_obv" -> QueryDef(
       (s, dir) => {

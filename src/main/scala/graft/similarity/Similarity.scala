@@ -346,7 +346,7 @@ object Similarity {
       .join(flat.select(col("id").as("id_b"), col("v").as("__vb"),
         col("norm").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(__va, __vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+        graft.functions.ArrayDotProduct.arrayDot(col("__va"), col("__vb"))
           / (col("__na") * col("__nb")))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b").asc)

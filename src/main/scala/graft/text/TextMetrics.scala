@@ -48,16 +48,30 @@ object TextMetrics {
 
   /** Language ID: score each candidate language by marker-stopword hits,
     * pick the max (ties → lexicographically first language; all-zero →
-    * "und" undetermined). The token array is materialized once; the winner
-    * is a greatest() + when-chain in LangMarkers order — the same CASE
-    * structure as the SQL oracle, and codegen-friendly. */
+    * "und" undetermined).
+    *
+    * Scored as ONE pass: explode tokens, equi-join the broadcast marker
+    * dimension, conditional-sum per language. The per-marker
+    * `filter(tokens, …)` form this replaces ran 25 higher-order-function
+    * scans per row — HOFs evaluate interpreted and push the whole
+    * projection out of whole-stage codegen. The join form is all
+    * codegen'd operators, does map-side partial aggregation, and at scale
+    * is the classic broadcast-dim pattern. Zero-hit docs re-enter via a
+    * left join and classify as "und". */
   def languageId(df: DataFrame, id: String, text: String): DataFrame = {
-    val scoreCols = LangMarkers.map { case (lang, words) =>
-      words.map(w => size(filter(col("__toks"), t => t === lit(w))).cast("long"))
-        .reduce(_ + _).as(s"__s_$lang")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = broadcast(
+      LangMarkers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+        .toDF("__lang", "__tok"))
+    val hits = df.select(col(id), explode(tokenArr(col(text))).as("__tok"))
+      .join(markers, "__tok")
+    val scoreAggs = LangMarkers.map { case (lang, _) =>
+      sum(when(col("__lang") === lang, 1L).otherwise(0L)).as(s"__s_$lang")
     }
-    val scored = df.withColumn("__toks", tokenArr(col(text)))
-      .select(col(id) +: scoreCols: _*)
+    val counts = hits.groupBy(col(id)).agg(scoreAggs.head, scoreAggs.tail: _*)
+    val scored = df.select(col(id)).join(counts, Seq(id), "left")
+      .na.fill(0L, LangMarkers.map { case (lang, _) => s"__s_$lang" })
     val m = greatest(LangMarkers.map { case (lang, _) => col(s"__s_$lang") }: _*)
     val pick = LangMarkers.foldLeft(when(m === 0L, "und")) {
       case (acc, (lang, _)) => acc.when(col(s"__s_$lang") === m, lang)

@@ -30,4 +30,22 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("sid") === 42L)
     assert(out.head.getAs[Long]("ts") === 100L)
   }
+
+  test("backwardSalted equals backward on a skewed key with sparse signal buckets") {
+    // hot key: 2000 ticks; signals only land in a few early buckets, so
+    // most left buckets repair from the cross-bucket carry path
+    val rnd = new scala.util.Random(11)
+    val ticks = ((0 until 2000).map(i => ("HOT", 1000L + i * 7L, i)) ++
+      Seq(("COLD", 1500L, 9001), ("COLD", 90L, 9002)))
+      .toDF("sym", "ts", "tick_id")
+    val signals = ((0 until 12).map(i => ("HOT", 900L + i * 13L, s"s$i")) ++
+      Seq(("HOT", 9000L, "late"), ("COLD", 100L, "c0")))
+      .toDF("sym", "ts", "sig")
+    val plain = AsOfJoin.backward(ticks, signals, Seq("sym"), "ts", "ts", Seq("sig"))
+      .orderBy("tick_id").collect().map(_.toSeq)
+    val salted = AsOfJoin.backwardSalted(ticks, signals, Seq("sym"), "ts", "ts",
+        Seq("sig"), bucketMs = 500L)
+      .orderBy("tick_id").collect().map(_.toSeq)
+    assert(salted.toSeq === plain.toSeq)
+  }
 }
