@@ -19,6 +19,23 @@ class CatalogSpec extends SparkSpecBase {
     assert(r.getAs[Double]("avg_value") > 0)
   }
 
+  test("coverage over a BARS table (S9): per-timeframe bounds and counts") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("ts_ms")))
+    val bars = graft.bars.Ohlcv.renderTimeframe(ev, Seq(lit("E")), col("ts"),
+        col("value"), col("value"), col("ts_ms"), "H1")
+      .withColumn("ts_ms", org.apache.spark.sql.functions.unix_millis(col("bar_start")))
+      .withColumn("timeframe", lit("H1"))
+    val cov = Catalog.coverage(bars, Seq("timeframe"), "ts_ms",
+      statCols = Seq("close")).collect()
+    assert(cov.length === 1)
+    val r = cov.head
+    assert(r.getAs[String]("timeframe") === "H1")
+    assert(r.getAs[Long]("n_rows") > 0)
+    assert(r.getAs[Long]("start_ms") < r.getAs[Long]("end_ms"))
+    assert(r.getAs[Double]("avg_close") > 0)
+  }
+
   test("availability: range containment verdict per key") {
     val cov = Seq(("A", 100L, 200L, 10L), ("B", 150L, 400L, 20L))
       .toDF("sym", "start_ms", "end_ms", "n_rows")
