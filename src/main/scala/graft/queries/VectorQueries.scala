@@ -28,15 +28,41 @@ object VectorQueries extends QueryPack {
       "Brute-force cosine top-k (exact ANN baseline)"),
 
     // Scale path: LSH-bucketed ANN (adaptive signature width, no driver
-    // state). Approximate by construction, so the oracle is rows-only
-    // (no SQL) — correctness is covered by the spec asserting recall
-    // against q33 on the same data.
+    // state). Like q71, the approximate path is ORACLE-EXACT: the
+    // md5-seeded hyperplanes are reproduced in SQL, the oracle computes
+    // the SAME adaptive width planes = max(4, ceil(log2(n/32))), and
+    // DuckDB's list_dot_product sums in the same index order as the JVM
+    // signature loop — sign bits, buckets, candidates, and ranks agree
+    // bit-for-bit.
     "q34_lsh_topk" -> QueryDef(
       (s, dir) => Similarity.lshCosineTopK(Tables.embeddings(s, dir), "vec_id",
           "embedding", k = 3, tables = 8)
         .orderBy(col("id_a"), col("rank")),
-      None,
-      "LSH random-hyperplane bucketed ANN top-k (100 TB scale path)"),
+      Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        np AS (SELECT greatest(4, ceil(log2(count(*) / 32.0))::INT) AS np FROM p),
+        comp AS (SELECT pl.range::INT AS plane, j.range::INT AS j,
+            ('0x' || substr(md5(pl.range::VARCHAR || ':'
+               || j.range::VARCHAR), 1, 8))::BIGINT
+              / 2147483648.0 - 1.0 AS comp
+          FROM range(1024) pl, range(64) j, np WHERE pl.range < np.np * 8),
+        planevec AS (SELECT plane, list(comp ORDER BY j) AS pv FROM comp GROUP BY plane),
+        sig AS (SELECT p.vec_id, pl.plane // np.np AS t, pl.plane % np.np AS bit_idx,
+            CASE WHEN list_dot_product(p.v, pl.pv) >= 0 THEN '1' ELSE '0' END AS b
+          FROM p, planevec pl, np),
+        sigs AS (SELECT vec_id, t, string_agg(b, '' ORDER BY bit_idx) AS bits
+          FROM sig GROUP BY vec_id, t),
+        buckets AS (SELECT t::VARCHAR || ':' || bits AS bucket, vec_id FROM sigs),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b USING (bucket) WHERE a.vec_id <> b.vec_id),
+        scored AS (SELECT cand.id_a, cand.id_b,
+            list_cosine_similarity(a.v, b.v) AS cosine
+          FROM cand JOIN p a ON cand.id_a = a.vec_id
+                    JOIN p b ON cand.id_b = b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                ORDER BY cosine DESC, id_b) AS rank FROM scored)
+        SELECT id_a, id_b, rank, round(cosine, 6) AS cosine
+        FROM r WHERE rank <= 3 ORDER BY id_a, rank"""),
+      "LSH random-hyperplane bucketed ANN top-k (100 TB scale path, oracle-exact)"),
 
     // Same exact-kNN semantics as q33, computed by the fully-distributed
     // block nested-loop path (no collect, no broadcast) — proving the
