@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Spark 4 `transformWithState` form of the incremental bar renderer —
+  * the successor API to `flatMapGroupsWithState`: typed named
+  * `ValueState`, optional TTL/timers, and a state-store contract built
+  * for the RocksDB provider (set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `...state.RocksDBStateStoreProvider`; transformWithState requires it).
+  *
+  * Semantics are identical to [[IncrementalBars.renderTicks]]: each
+  * completed bar emits exactly once, in bucket order, when a tick in a
+  * later bucket arrives; gaps emit nothing; the forming bar stays in
+  * state (and survives checkpointed restarts — ST11).
+  */
+object BarsTws {
+
+  class BarProcessor(barMs: Long)
+      extends StatefulProcessor[String, IncrementalBars.Tick, IncrementalBars.Bar] {
+
+    @transient private var open: ValueState[IncrementalBars.OpenBar] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState("open",
+        Encoders.product[IncrementalBars.OpenBar], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[IncrementalBars.Tick],
+                                 timers: TimerValues): Iterator[IncrementalBars.Bar] = {
+      // same fold as IncrementalBars.foldGroup, over ValueState instead
+      // of GroupState (ticks event-time-ordered per key per batch)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[IncrementalBars.Bar]
+      var cur = if (open.exists()) open.get() else null
+      rows.foreach { t =>
+        val bs = t.tsMs - t.tsMs % barMs
+        if (cur == null) {
+          cur = IncrementalBars.OpenBar(bs, t.price, t.price, t.price, t.price, t.volume, 1L)
+        } else if (bs == cur.barStartMs) {
+          cur = cur.copy(high = math.max(cur.high, t.price),
+            low = math.min(cur.low, t.price), close = t.price,
+            volume = cur.volume + t.volume, tickCount = cur.tickCount + 1)
+        } else {
+          closed += IncrementalBars.Bar(key, cur.barStartMs, cur.open, cur.high,
+            cur.low, cur.close, cur.volume, cur.tickCount)
+          cur = IncrementalBars.OpenBar(bs, t.price, t.price, t.price, t.price, t.volume, 1L)
+        }
+      }
+      if (cur != null) open.update(cur)
+      closed.iterator
+    }
+  }
+
+  /** Stateful streaming render via transformWithState. */
+  def renderTicks(ticks: Dataset[IncrementalBars.Tick], barMs: Long)
+      : Dataset[IncrementalBars.Bar] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.key)
+      .transformWithState(new BarProcessor(barMs), TimeMode.None(),
+        OutputMode.Append())
+  }
+}

@@ -88,6 +88,34 @@ class StreamingBarsSpec extends SparkSpecBase {
     assert(sink.sortBy(_(1).asInstanceOf[Long]).toSeq === batchBars.take(2).toSeq)
   }
 
+  test("transformWithState renderer (Spark 4 API) matches the batch renderer") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[IncrementalBars.Tick]
+    val bars = BarsTws.renderTicks(stream.toDS(), 60000L)
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("tws_bars").start()
+    try {
+      val (first, second) = ticks.splitAt(250)
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      val got = spark.table("tws_bars").orderBy("barStartMs").collect().map(_.toSeq)
+      assert(got.length === 9)
+      assert(got.toSeq === batchBars.take(9).toSeq)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental stateful renderer emits closed bars exactly once, in order") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[IncrementalBars.Tick]
