@@ -12,7 +12,9 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q03_region_rollup",
-        "q04_revenue_segment", "q15_ohlcv_hourly", "q18_asof_join")
+        "q04_revenue_segment", "q15_ohlcv_hourly", "q18_asof_join",
+        "q27_ngram_jaccard", "q28_minhash_lsh", "q31_langid",
+        "q34_lsh_topk", "q71_ivf_ann", "q73_asof_salted")
     val spark = GraftSession.local("4")
     names.foreach { n =>
       println(s"\n========== $n ==========")
