@@ -151,4 +151,26 @@ class SimKernelSpec extends SparkSpecBase {
     assert(res("a").trades.length === 1)
     assert(res("b").trades.length === 1)
   }
+
+  test("results are identical regardless of input partitioning and row order") {
+    // the distributed-correctness contract: repartition + in-partition
+    // sort must make arbitrary upstream layouts (shuffled rows, skewed
+    // partitioning, single partition) converge to the same ledger
+    val base = TickReplay.syntheticTicks(spark, scenarios = 6, totalTicks = 30000L)
+    val logic = new TickReplay.RsiBollingerTrend()
+    def ledger(ds: org.apache.spark.sql.Dataset[SimTick]): Seq[Seq[Any]] =
+      SimKernel.runScenarios(ds, cfg, logic).collect()
+        .sortBy(_.stats.scenarioId)
+        .map(r => Seq[Any](r.stats.scenarioId, r.stats.ticksTotal,
+          r.stats.nTrades, r.stats.finalBalance, r.stats.maxDrawdown,
+          r.trades.map(t => (t.positionId, t.entryTimeMsc, t.exitTimeMsc,
+            t.netPnl, t.closeReason))))
+        .toSeq
+    val sorted = ledger(base)
+    val shuffled = ledger(
+      base.orderBy(org.apache.spark.sql.functions.rand(7)).as[SimTick])
+    val onePartition = ledger(base.coalesce(1))
+    assert(shuffled === sorted)
+    assert(onePartition === sorted)
+  }
 }
