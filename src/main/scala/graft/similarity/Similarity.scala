@@ -243,6 +243,102 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** K-means-refined IVF ANN: Lloyd iterations tighten the md5-seeded
+    * coarse quantizer before the same probe/scan search as
+    * [[ivfCosineTopK]]. Fully deterministic (seeded init, fixed
+    * iteration count, stable tie-breaks) but not oracle-checked — the
+    * float averaging isn't portably reproducible in SQL; the recall
+    * spec vs the untrained quantizer covers it.
+    *
+    * Scale: each iteration is one shuffle (assign → per-cell positional
+    * mean); only the cells×d centroid matrix (metadata-sized) ever
+    * reaches the driver. Centroids are L2-normalized so cell affinity
+    * stays a pure direction comparison. Empty cells keep their previous
+    * centroid. */
+  def ivfCosineTopKTrained(df: DataFrame, id: String, vec: String, k: Int,
+                           cells: Int = 16, probes: Int = 2,
+                           iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    val dim = vecs.head().v.length
+    def normalized(c: Array[Double]): Array[Double] = {
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var cents: Array[Array[Double]] =
+      Array.tabulate(cells)(c => normalized(
+        Array.tabulate(dim)(j => ivfComponent(c, j))))
+    def bestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var j = 0
+        val cv = cs(c)
+        val n = math.min(v.length, cv.length)
+        while (j < n) { s += v(j) * cv(j); j += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // assign + per-cell positional mean — one shuffle; result is
+      // cells×d, metadata-sized, so the collect is not a data collect
+      val means = vecs
+        .map(a => (bestCell(a.v, bc.value), a.v))
+        .toDF("cell", "v")
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.tabulate(cells, dim)((c, j) => cents(c)(j))
+      means.groupBy(_.getAs[Int]("cell")).foreach { case (c, rows) =>
+        rows.foreach(r => next(c)(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      }
+      cents = next.map(normalized)
+      bc.destroy()
+    }
+    val fin = spark.sparkContext.broadcast(cents)
+    val reps = vecs.mapPartitions { it =>
+      val cs = fin.value
+      it.flatMap { a =>
+        val q = new Array[Double](cells)
+        var c = 0
+        while (c < cells) {
+          var s = 0.0; var j = 0
+          val cv = cs(c)
+          val n = math.min(a.v.length, cv.length)
+          while (j < n) { s += a.v(j) * cv(j); j += 1 }
+          q(c) = s
+          c += 1
+        }
+        val order = (0 until cells).sortBy(c => (-q(c), c))
+        order.take(probes).zipWithIndex.iterator
+          .map { case (cell, i) => (cell, i == 0, a) }
+      }
+    }
+    val partials = reps.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val block = rows.collect { case (_, true, v) => v }
+        rows.iterator.flatMap(r => topkAgainst(r._3, block, k))
+      }
+      .toDF("id_a", "id_b", "cosine")
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic IVF centroid component for (cell, dim) in [-1, 1):
     * the [[planeComponent]] md5 convention under an "ivf" salt (distinct
     * from the LSH hyperplane family). */

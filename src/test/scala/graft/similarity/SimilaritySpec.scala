@@ -65,6 +65,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(approx.nonEmpty && approx.keySet.subsetOf(exact.keySet))
   }
 
+  test("ivfCosineTopKTrained: k-means refinement does not hurt recall") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b")).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = df.collect()
+        .map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b")).toMap
+      exact.count { case (a, b) => m.get(a).contains(b) }.toDouble / exact.size
+    }
+    val untrained = recall(Similarity.ivfCosineTopK(emb, "vec_id", "embedding", 1,
+      cells = 16, probes = 4))
+    val trained = recall(Similarity.ivfCosineTopKTrained(emb, "vec_id", "embedding", 1,
+      cells = 16, probes = 4, iters = 2))
+    // everything is deterministically seeded, so these are fixed values;
+    // Lloyd refinement tightens cells around the data distribution
+    assert(trained >= untrained, s"trained $trained < untrained $untrained")
+    assert(trained > 0.5, s"trained recall $trained too low")
+  }
+
   test("labelCentroids: positional means per label") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
       .toDF("label", "embedding")
