@@ -29,21 +29,36 @@ object TextMetrics {
 
   /** Per-document quality metrics: token/char counts, average token length,
     * unique-token (type/token) ratio, stopword ratio — the reference-style
-    * length/stopword quality gates for corpus filtering. */
+    * length/stopword quality gates for corpus filtering.
+    *
+    * Stopword hits count via explode + broadcast stopword dim +
+    * conditional aggregation (the [[languageId]] pattern): the previous
+    * per-word `filter(tokens, …)` higher-order functions evaluated
+    * interpreted, re-split the text once per reference, and pushed the
+    * whole projection out of whole-stage codegen. */
   def metrics(df: DataFrame, id: String, text: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stopDim = broadcast(
+      LangMarkers.toMap.apply("en").toDF("__stop"))
+    val hits = df.select(col(id), explode(tokenArr(col(text))).as("__tok"))
+      .join(stopDim, col("__tok") === col("__stop"))
+      .groupBy(col(id)).agg(count(lit(1)).as("__hits"))
     val toks = tokenArr(col(text))
     val nTok = size(toks)
-    val stopHits = LangMarkers.toMap.apply("en")
-      .map(wordCount(col(text), _)).reduce(_ + _)
     df.select(
-      col(id),
-      length(col(text)).cast("long").as("n_chars"),
-      nTok.cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
-      round((length(col(text)) - nTok + 1).cast("double") / nTok, 4).as("avg_token_len"),
-      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"),
-      stopHits.as("stopword_hits"),
-      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"))
+        col(id),
+        length(col(text)).cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+        round((length(col(text)) - nTok + 1).cast("double") / nTok, 4).as("avg_token_len"),
+        round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"))
+      .join(hits, Seq(id), "left")
+      .na.fill(0L, Seq("__hits"))
+      .select(col(id), col("n_chars"), col("n_tokens"), col("n_unique_tokens"),
+        col("avg_token_len"), col("type_token_ratio"),
+        col("__hits").as("stopword_hits"),
+        round(col("__hits").cast("double") / col("n_tokens"), 4).as("stopword_ratio"))
   }
 
   /** Language ID: score each candidate language by marker-stopword hits,
