@@ -30,7 +30,12 @@ object Dedup {
     * shingling is a pure per-row map — the previous posexplode + window
     * `lead` version shuffled the whole token stream once per call just to
     * line up adjacent tokens that were already adjacent in the array.
-    * The only shuffle left is the `distinct()`. */
+    * The only shuffle left is the `distinct()`.
+    *
+    * Deliberate trade-off: `transform` is a higher-order function
+    * (interpreted, no whole-stage codegen for this projection), but
+    * dropping a full shuffle of the token stream dominates the
+    * interpreted-lambda cost at every scale measured (q28 17s → ~3s). */
   def shingles(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
     val arr = split(col(text), " ")
     df.select(col(id), explode(when(size(arr) >= n,
