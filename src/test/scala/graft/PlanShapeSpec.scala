@@ -72,10 +72,20 @@ class PlanShapeSpec extends SparkSpecBase {
     // key is ever dropped — check them all at the logical level
     for (name <- Seq("q26_dedup_exact", "q27_ngram_jaccard", "q28_minhash_lsh",
       "q30_simhash_pairs", "q33_cosine_topk", "q44_cosine_topk_blocked",
-      "q70_embedding_neardup")) {
+      "q70_embedding_neardup", "q34_lsh_topk", "q71_ivf_ann")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
     }
+  }
+
+  test("q73 salted as-of keeps its bounded-task shape (no blowup vs q18)") {
+    val p = plan("q73_asof_salted")
+    // within-bucket window + carry window + repair join + final sort:
+    // a handful of exchanges over metadata-sized sides, never a
+    // cartesian and never a shuffle of payload per bucket replica
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = countOf(p, "\\(\\d+\\) Exchange")
+    assert(exchanges <= 7, s"salted as-of grew to $exchanges exchanges:\n$p")
   }
 }
