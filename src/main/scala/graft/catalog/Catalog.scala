@@ -53,7 +53,10 @@ object Catalog {
     * `_manifest.json` sidecar in the dataset directory — same contract
     * (open dataset → read its KV), and visible to any JSON reader.
     * Written through the path's Hadoop FileSystem, so it works on every
-    * scheme the data write accepts. */
+    * scheme the data write accepts. The sidecar is written to a temp name
+    * and renamed into place, so a crash mid-write can never leave a
+    * truncated `_manifest.json` behind — readers see either the previous
+    * complete manifest or the new complete one. */
   def writeWithManifest(df: DataFrame, path: String,
                         meta: Map[String, String]): Unit = {
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
@@ -61,16 +64,24 @@ object Catalog {
       .map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
       .mkString("{", ",", "}")
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val tmp = new org.apache.hadoop.fs.Path(path, "_manifest.json.tmp")
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false) // rename does not overwrite on all schemes
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest rename failed: $tmp -> $p")
   }
 
   /** Read back a [[writeWithManifest]] manifest as a flat KV map. Read
     * through the Hadoop FileSystem (Spark's readers treat `_`-prefixed
     * files as hidden, which is exactly why the sidecar is safe to live in
     * the dataset directory) and parsed with a flat-string-JSON scanner
-    * matching the writer's format. */
+    * matching the writer's format.
+    *
+    * MISSING manifest → `Map.empty` ("no lineage recorded"). A manifest
+    * that exists but does not parse fails LOUDLY — a corrupt sidecar must
+    * not be indistinguishable from an absent one. */
   def readManifest(spark: SparkSession, path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,7 +92,11 @@ object Catalog {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
-    parseFlatJson(json)
+    try parseFlatJson(json)
+    catch {
+      case e: Exception => throw new java.io.IOException(
+        s"malformed manifest at $p (${json.length} bytes): ${e.getMessage}", e)
+    }
   }
 
   /** Minimal parser for the writer's own output: {"k":"v",...} with

@@ -16,11 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage codegen (`doGenCode`), with an interpreted `nullSafeEval`
   * fallback for non-codegen paths.
   *
-  * Mismatched lengths dot the common prefix; null ELEMENTS are read as
-  * primitive 0.0 (embedding arrays are dense by contract). Summation is
-  * index-ascending — the same order as the SQL `aggregate` form and the
-  * JVM kernels in [[graft.similarity.Similarity]], so results are
-  * bit-identical across all three paths.
+  * Null semantics MATCH the SQL form it replaces (so swapping one for
+  * the other can never silently change results): a length mismatch
+  * yields NULL (as `zip_with` would), and a null ELEMENT yields NULL
+  * (as `aggregate`'s `acc + null` would) — a ragged or null-element
+  * embedding surfaces as a null cosine instead of a plausible-but-wrong
+  * prefix dot. The element-null check is compiled in only when an
+  * input's array type says `containsNull`; the dense case keeps the
+  * tight primitive loop. Summation is index-ascending — the same order
+  * as the SQL `aggregate` form and the JVM kernels in
+  * [[graft.similarity.Similarity]], so results are bit-identical across
+  * all three paths.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,6 +35,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+
+  // Result can be null (length mismatch / null element) even when both
+  // child arrays are non-null.
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
@@ -42,10 +57,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -54,13 +74,22 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -506,8 +506,10 @@ object SimKernel {
               drainLatency(lastTick.bid, lastTick.ask, gm)
               accrueSwaps(gm) // #365: ghost resolutions accrue too
               val eq = balance + unrealizedAt(lastTick.bid, lastTick.ask)
-              execDecisions(logic.onHeartbeat(gm, buildCtx(lastTick, eq)),
+              val hbCtx = buildCtx(lastTick, eq)
+              execDecisions(logic.onHeartbeat(gm, hbCtx),
                 lastTick.bid, lastTick.ask, gm)
+              hbCtx.invalidate()
               gm += config.heartbeatIntervalMs
             }
           }
@@ -581,9 +583,12 @@ object SimKernel {
         else {
           // ---- (3) algo path: decision logic ----
           // clear AFTER the callback: ctx.closedBars is a lazy view over
-          // pendingCloses and must see this tick's closes when read
+          // pendingCloses and must see this tick's closes when read.
+          // Invalidate once the decisions executed so a retained context
+          // fails loudly instead of reading mutated buffers.
           val ctx = buildCtx(t, equity)
           execDecisions(logic.onTick(ctx), t.bid, t.ask, t.timeMsc)
+          ctx.invalidate()
           pendingCloses.clear()
         }
       }

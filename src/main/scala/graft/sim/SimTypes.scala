@@ -84,7 +84,12 @@ case class KernelBar(timeframeMs: Long, barStartMs: Long, open: Double,
   * the replay profile for strategies that read one or two of them. Each
   * view snapshots on first read and is stable for the rest of the
   * callback; reads are only valid DURING the onTick/onHeartbeat call
-  * (the kernel mutates its buffers between ticks). */
+  * and the execution of its returned decisions (the kernel mutates its
+  * buffers between ticks). The kernel ENFORCES this: it invalidates the
+  * context once the decisions have executed, and a first read of any
+  * view after that throws instead of silently observing mutated/cleared
+  * kernel buffers. Views already forced during the callback stay
+  * readable (they are stable snapshots). */
 final class DecisionContext(
     val tick: SimTick,
     val tickIndex: Long,
@@ -94,12 +99,23 @@ final class DecisionContext(
     formingBars0: => Map[Long, KernelBar] = Map.empty,
     pendingOrders0: => Seq[PendingOrderView] = Seq.empty,
     account0: => AccountInfo = AccountInfo(0, 0, 0, 0)) {
-  lazy val openPositions: Seq[OpenPosition] = openPositions0
-  lazy val recentMids: IndexedSeq[Double] = recentMids0
-  lazy val closedBars: Seq[KernelBar] = closedBars0
-  lazy val formingBars: Map[Long, KernelBar] = formingBars0
-  lazy val pendingOrders: Seq[PendingOrderView] = pendingOrders0
-  lazy val account: AccountInfo = account0
+  private var live: Boolean = true
+  /** Kernel-only: mark the context dead once its decisions executed. */
+  private[sim] def invalidate(): Unit = live = false
+  private def guard[A](view: => A): A = {
+    if (!live) throw new IllegalStateException(
+      "DecisionContext view read after its callback completed: views are " +
+        "only valid during onTick/onHeartbeat (and the execution of the " +
+        "decisions it returned). Force the view inside the callback if the " +
+        "strategy needs to retain a snapshot.")
+    view
+  }
+  lazy val openPositions: Seq[OpenPosition] = guard(openPositions0)
+  lazy val recentMids: IndexedSeq[Double] = guard(recentMids0)
+  lazy val closedBars: Seq[KernelBar] = guard(closedBars0)
+  lazy val formingBars: Map[Long, KernelBar] = guard(formingBars0)
+  lazy val pendingOrders: Seq[PendingOrderView] = guard(pendingOrders0)
+  lazy val account: AccountInfo = guard(account0)
 }
 
 /** The X5 plugin surface: deterministic, serializable strategy.

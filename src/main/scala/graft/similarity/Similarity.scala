@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`), for training-data pipelines.
   *
-  * - `cosineTopK` — exact top-k, broadcast-build fast path. The build
-  *   side (all vectors) is broadcast, the probe side streams through
+  * - `cosineTopK` — exact top-k ROUTER: delegates to the broadcast
+  *   fast path below a configurable build-row threshold and to the
+  *   fully-distributed blocked path above it — the kNN analogue of
+  *   Spark's own broadcast-vs-shuffle join selection. The default route
+  *   never `collect()`s an unbounded build side.
+  * - `cosineTopKBroadcast` — the opt-in fast path. The build side (all
+  *   vectors) is broadcast, the probe side streams through
   *   `mapPartitions` with a tight double-precision loop and a bounded
   *   top-k buffer — the kNN analogue of a broadcast hash join. Build
   *   side must fit in executor memory (same contract as any broadcast
-  *   join); use `cosineTopKBlocked` when it doesn't.
+  *   join).
   * - `cosineTopKBlocked` — exact top-k with no collect/broadcast:
   *   block nested-loop over a (probeBlocks × buildBlocks) grid, partial
   *   top-k per cell, k-bounded merge. Bit-identical to `cosineTopK`.
@@ -81,9 +86,21 @@ object Similarity {
     (0 until filled).iterator.map(r => (a.id, bIds(r), bCos(r)))
   }
 
-  /** Exact brute-force cosine top-k neighbors per vector.
-    * Deterministic: ties broken by neighbor id ascending. */
-  def cosineTopK(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  /** Exact brute-force cosine top-k neighbors per vector — the default
+    * entry point. Routes by build size, like Spark's join selection:
+    * at or below `maxBroadcastRows` (cheap metadata count on parquet
+    * sources) it takes the broadcast fast path; above it, the blocked
+    * grid, which never ships vectors to the driver. Both paths are
+    * bit-identical (same summation order, same tie-break), so routing
+    * can never change results. Deterministic: ties broken by neighbor
+    * id ascending. */
+  def cosineTopK(df: DataFrame, id: String, vec: String, k: Int,
+                 maxBroadcastRows: Long = 100000): DataFrame =
+    if (df.count() <= maxBroadcastRows) cosineTopKBroadcast(df, id, vec, k)
+    else cosineTopKBlocked(df, id, vec, k)
+
+  /** Broadcast-build exact top-k (the opt-in fast path — see object doc). */
+  def cosineTopKBroadcast(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Probe side: single-file inputs arrive as one partition — spread the
@@ -194,8 +211,10 @@ object Similarity {
     *     and the same literals are computable in SQL, so unlike
     *     hyperplane LSH this ANN path is ORACLE-EXACT;
     *   - cell-affinity dots are micro-quantized (`floor(dot·1e6)`) before
-    *     the argmax so last-bit summation differences between engines
-    *     can't flip an assignment;
+    *     the argmax, which makes ties deterministic and reduces the
+    *     chance that last-bit summation differences between engines flip
+    *     an assignment to the boundary case of a sum straddling a 1e-6
+    *     grid line (oracle-exactness is near-certain, not guaranteed);
     *   - one shuffle of (cell, vector) rows, replication factor =
     *     `probes`; each cell task scans only its member block — at scale,
     *     `cells` grows ~√n, keeping per-task work flat.
@@ -304,6 +323,11 @@ object Similarity {
       cents = next.map(normalized)
       bc.destroy()
     }
+    // The cache exists for the per-iteration Lloyd jobs above; release it
+    // once they are done so long-lived sessions don't accumulate cached
+    // datasets. The returned (lazy) plan below recomputes `vecs` once —
+    // a single scan, the same cost the uncached first iteration paid.
+    vecs.unpersist(blocking = false)
     val fin = spark.sparkContext.broadcast(cents)
     val reps = vecs.mapPartitions { it =>
       val cs = fin.value
@@ -406,13 +430,16 @@ object Similarity {
                     planes: Int = 0, tables: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Adaptive width needs only the ROW COUNT — take it from the source
+    // relation (a metadata-only count on parquet) instead of counting a
+    // cached `vecs`: no vector decode for the probe, and no cached
+    // dataset left accumulating in executor storage across calls.
     val vecs = toVecs(df, id, vec)
       .repartition(spark.sparkContext.defaultParallelism)
-      .cache()
     val nPlanes =
       if (planes > 0) planes
       else math.max(4, math.ceil(
-        math.log(vecs.count() / 32.0) / math.log(2.0)).toInt)
+        math.log(df.count() / 32.0) / math.log(2.0)).toInt)
     val nTables = tables
     val buckets = vecs.mapPartitions { it =>
       // The matrix is sized to the widest vector seen so far and rebuilt

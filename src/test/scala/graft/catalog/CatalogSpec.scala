@@ -61,6 +61,21 @@ class CatalogSpec extends SparkSpecBase {
     Catalog.writeWithManifest(df, dir, meta)
     assert(spark.read.parquet(dir).count() === 2)
     assert(Catalog.readManifest(spark, dir) === meta)
+    // no temp residue from the atomic write
+    assert(!new java.io.File(dir, "_manifest.json.tmp").exists())
+  }
+
+  test("readManifest: missing -> empty; malformed (truncated) -> loud failure") {
+    val dir = Files.createTempDirectory("graft_manifest2").toString + "/ds"
+    val df = Seq((1L, "x")).toDF("id", "v")
+    df.write.parquet(dir)
+    assert(Catalog.readManifest(spark, dir) === Map.empty)
+    // simulate a torn write: a partial manifest must not read as "no lineage"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifest.json"),
+      """{"source_file":"tick""".getBytes("UTF-8"))
+    val e = intercept[java.io.IOException](Catalog.readManifest(spark, dir))
+    assert(e.getMessage.contains("malformed manifest"))
   }
 
   test("cachedDerived: recomputes only when the fingerprint changes") {

@@ -28,6 +28,26 @@ private class LimitAtIdx1 extends DecisionLogic {
     if (ctx.tickIndex == 1) Seq(OpenLimit(Long_, 1.0, 1.10020)) else Seq(Hold)
 }
 
+/** Misuse: retains the context and first-reads a view on the NEXT tick. */
+private class RetainsCtx extends DecisionLogic {
+  @transient private var saved: DecisionContext = _
+  def onTick(ctx: DecisionContext): Seq[Decision] = {
+    if (ctx.tickIndex == 0) saved = ctx
+    else saved.recentMids // first read after the callback: must throw
+    Seq(Hold)
+  }
+}
+
+/** Legal: forces a view during the callback, reads the snapshot later. */
+private class ForcesThenRetains extends DecisionLogic {
+  @transient private var saved: DecisionContext = _
+  def onTick(ctx: DecisionContext): Seq[Decision] = {
+    if (ctx.tickIndex == 0) { ctx.recentMids; saved = ctx }
+    else require(saved.recentMids.nonEmpty) // forced snapshot stays stable
+    Seq(Hold)
+  }
+}
+
 class SimKernelSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -172,5 +192,20 @@ class SimKernelSpec extends SparkSpecBase {
     val onePartition = ledger(base.coalesce(1))
     assert(shuffled === sorted)
     assert(onePartition === sorted)
+  }
+
+  test("retained DecisionContext fails loudly on a post-callback first read") {
+    val t = ticks("s1", (1000L, 1.10000, 1.10010), (2000L, 1.10020, 1.10030))
+    val out = SimKernel.runScenariosOutcomes(t.toDS(), cfg, new RetainsCtx)
+      .collect().head
+    assert(out.result.isEmpty)
+    assert(out.error.contains("DecisionContext"))
+  }
+
+  test("views forced during the callback stay readable from a retained context") {
+    val t = ticks("s1", (1000L, 1.10000, 1.10010), (2000L, 1.10020, 1.10030))
+    val res = SimKernel.runScenarios(t.toDS(), cfg, new ForcesThenRetains)
+      .collect().head
+    assert(res.stats.ticksTotal === 2)
   }
 }
