@@ -51,12 +51,49 @@ object Dedup {
     df.groupBy(md5(col(text)).as("digest"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Default document-frequency cap for shingles (see [[capByDf]]):
+    * high enough to be a no-op on corpora smaller than it (df can never
+    * exceed the doc count), so small-scale results and oracles are
+    * unchanged, while at 100 TB it bounds every posting list. */
+  val DefaultMaxDf = 10000
+
+  /** Drop stop-shingles: shingles whose DOCUMENT FREQUENCY exceeds
+    * `maxDf` are removed from the shingle set entirely (pair generation,
+    * sizes, and common counts all see the capped universe — the standard
+    * production-dedup semantics; a phrase shared by everyone carries no
+    * discriminative signal).
+    *
+    * This is the skew guard for the inverted-index joins: a posting list
+    * is quadratic WITHIN its bucket, so one boilerplate phrase shared by
+    * 1M docs would otherwise emit 10¹² candidate pairs in one task.
+    * After the cap, per-shingle pair fan-out is ≤ maxDf², independent of
+    * corpus size. The df aggregation and anti-join hash on `shingle` —
+    * the same key the downstream self-join shuffles on — so the guard
+    * rides the exchange the join needed anyway. */
+  private[dedup] def capByDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("shingle")
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** [[shingles]] with the [[capByDf]] stop-shingle guard applied. */
+  def cappedShingles(df: DataFrame, id: String, text: String, n: Int = 3,
+                     maxDf: Int = DefaultMaxDf): DataFrame =
+    capByDf(shingles(df, id, text, n), maxDf)
+
   /** Pairwise n-gram Jaccard similarity ≥ threshold.
     * Inverted-index self-join on shingle → common counts → |A∪B| by
-    * inclusion-exclusion. Emits (id_a < id_b, jaccard). */
+    * inclusion-exclusion. Emits (id_a < id_b, jaccard).
+    *
+    * `maxDf` caps shingle document frequency ([[capByDf]]): similarity is
+    * computed over the capped shingle universe, keeping the self-join's
+    * per-key fan-out bounded under adversarial skew (hot boilerplate). */
   def ngramJaccard(df: DataFrame, id: String, text: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, id, text, n).cache()
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh = cappedShingles(df, id, text, n, maxDf).cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(id).as("id_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("shingle"))
@@ -106,11 +143,17 @@ object Dedup {
     * Bands of `rowsPerBand` signature slots; docs sharing any full band
     * signature become candidates; candidates are verified with exact
     * shingle Jaccard ≥ threshold.
-    */
+    *
+    * `maxDf` ([[capByDf]]) guards BOTH skew surfaces: the signature pass
+    * (hot shingles would dominate every doc's minhash slots) and the
+    * verify stage's shingle self-join (whose posting lists are quadratic
+    * within a key). Signatures and Jaccard both see the capped universe,
+    * so candidates and verification stay consistent. */
   def minhashLsh(df: DataFrame, id: String, text: String, n: Int = 3,
                  numHashes: Int = 12, rowsPerBand: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, id, text, n).cache()
+                 threshold: Double = 0.5,
+                 maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh = cappedShingles(df, id, text, n, maxDf).cache()
     val mh = minhash(sh, id, numHashes)
     val nBands = numHashes / rowsPerBand
     // band signature = the band's minhash slots joined in seed order;

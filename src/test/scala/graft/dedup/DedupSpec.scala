@@ -58,4 +58,47 @@ class DedupSpec extends SparkSpecBase {
         r.getAs[Number]("hamming").longValue())).toMap
     assert(pairs.get((1L, 4L)).contains(0L))
   }
+
+  // ---- adversarial skew: one boilerplate phrase shared by every doc ----
+
+  /** 1k docs, each: common 6-token boilerplate prefix + unique tail.
+    * Uncapped, the boilerplate trigrams' posting lists hold all 1k docs →
+    * ~500k candidate pairs PER HOT SHINGLE in one task; capped, they are
+    * dropped before the self-join. */
+  private def hotCorpus = {
+    val rows = (1L to 1000L).map { i =>
+      (i, s"terms of service apply to everything uniquely$i worded$i document$i body$i")
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  test("df cap drops hot shingles: every surviving posting list is bounded") {
+    import org.apache.spark.sql.functions._
+    val capped = Dedup.cappedShingles(hotCorpus, "doc_id", "text", 3, maxDf = 100)
+    val maxPosting = capped.groupBy("shingle").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPosting <= 100, s"posting list of size $maxPosting survived the cap")
+    // and the hot boilerplate shingle is indeed gone
+    assert(capped.filter(col("shingle") === "terms of service").count() === 0)
+  }
+
+  test("hot-shingle corpus: capped jaccard and LSH emit no false pairs and stay bounded") {
+    // 1000 docs sharing only boilerplate: with the cap, candidate fan-out
+    // collapses and no pair clears the threshold (their real overlap is 0).
+    val j = Dedup.ngramJaccard(hotCorpus, "doc_id", "text", 3, 0.5, maxDf = 100)
+    assert(j.count() === 0)
+    val l = Dedup.minhashLsh(hotCorpus, "doc_id", "text", 3, 12, 3, 0.5, maxDf = 100)
+    assert(l.count() === 0)
+  }
+
+  test("df cap above the corpus size is a no-op (oracle-compat guarantee)") {
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4, maxDf = 10000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2)).toSeq
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2)).toSeq
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
 }
