@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Scalable total-order ranking (SURVEY A16/W15 at scale).
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY is semantically
+  * a total order, and Spark executes it by moving EVERY row to one
+  * partition — the classic single-task bottleneck (the engine even logs
+  * "Moving all data to a single partition"). The scalable idiom is the
+  * two-pass rank:
+  *
+  *   1. `repartitionByRange` on the sort key (one range-partitioned
+  *      shuffle; partition p holds keys strictly before partition p+1),
+  *      then `sortWithinPartitions` — a full distributed sort, no
+  *      single-point merge;
+  *   2. `zipWithIndex` — one lightweight count job over the partition
+  *      SIZES (a per-partition count, not the data), then each partition
+  *      stamps `offset + local index` in a single pass.
+  *
+  * Rank values equal the unpartitioned `row_number` exactly when the
+  * sort key is a total order (make it one — add a unique tiebreak
+  * column, as any deterministic ranking needs anyway).
+  */
+object GlobalRank {
+
+  /** Append a 1-based `rankCol` following `order` (which must be a total
+    * order for deterministic results). Output keeps the input columns in
+    * order, plus `rankCol: long` last; rows come back globally sorted. */
+  def withRowNumber(df: DataFrame, order: Seq[Column],
+                    rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val out = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(out, sorted.schema.add(rankCol, LongType, nullable = false))
+  }
+}

@@ -53,17 +53,19 @@ object LedgerQueries extends QueryPack {
         GROUP BY k % 10 ORDER BY k_bucket"""),
       "JSON attribute extract + agg (SURVEY F13)"),
 
-    // A16: sweep-style ranking with stable tie-break.
+    // A16: sweep-style ranking with stable tie-break. Ranked via the
+    // scalable two-pass GlobalRank (range partition + zipWithIndex), not
+    // an unpartitioned window — this query must not single-task at scale.
     "q38_user_ranking" -> QueryDef(
       (s, dir) => {
         val ranked = Tables.events(s, dir)
           .groupBy(col("user_id"))
           .agg(round(sum(col("value")), 2).as("objective"),
             count(lit(1)).as("n_events"))
-        ranked
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("objective").desc, col("user_id").asc)))
-          .select(col("rank"), col("user_id"), col("objective"), col("n_events"))
+        graft.ops.GlobalRank.withRowNumber(ranked,
+            Seq(col("objective").desc, col("user_id").asc), "rank")
+          .select(col("rank").cast("int").as("rank"), col("user_id"),
+            col("objective"), col("n_events"))
           .orderBy(col("rank"))
       },
       Some("""SELECT row_number() OVER (ORDER BY round(sum(value), 2) DESC, user_id) AS rank,
