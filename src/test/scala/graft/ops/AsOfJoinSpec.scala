@@ -48,4 +48,33 @@ class AsOfJoinSpec extends SparkSpecBase {
       .orderBy("tick_id").collect().map(_.toSeq)
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("one-symbol stream: plain as-of single-tasks, salted spreads the key") {
+    import org.apache.spark.sql.functions._
+    // The reference's signal streams are per-symbol — ONE key carries the
+    // whole join (signal_data_provider.py). Plain backward puts that key
+    // in one window task by construction; salted must not.
+    val n = 100000L
+    val ticks = spark.range(n).select(lit("EURUSD").as("sym"),
+      (col("id") * 7L).as("ts"), col("id").as("tick_id"))
+    val signals = spark.range(500).select(lit("EURUSD").as("sym"),
+      (col("id") * 1400L).as("ts"), col("id").as("sig"))
+    // non-empty partitions of the FULL result (.rdd materializes every
+    // column, so the window can't be pruned away) = the as-of stage's
+    // working tasks (specs run 4 shuffle partitions, AQE coalescing off)
+    def nonEmptyTasks(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.mapPartitionsWithIndex((i, it) =>
+        if (it.hasNext) Iterator(i) else Iterator.empty).collect().length
+    val plain = AsOfJoin.backward(ticks, signals, Seq("sym"), "ts", "ts", Seq("sig"))
+    val salted = AsOfJoin.backwardSalted(ticks, signals, Seq("sym"), "ts", "ts",
+      Seq("sig"), bucketMs = 7L * n / 32) // ~32 buckets across the stream
+    assert(nonEmptyTasks(plain) === 1,
+      "plain backward no longer single-tasks — update this documentation of the trade-off")
+    assert(nonEmptyTasks(salted) > 1,
+      "salted as-of collapsed the hot key back into one task")
+    // and both still agree row-for-row
+    val p = plain.orderBy("tick_id").collect().map(_.toSeq).toSeq
+    val s = salted.orderBy("tick_id").collect().map(_.toSeq).toSeq
+    assert(s === p)
+  }
 }
