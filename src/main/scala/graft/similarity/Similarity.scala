@@ -188,13 +188,20 @@ object Similarity {
     aRep.groupByKey(_._1)
       .cogroup(bRep.groupByKey(_._1)) { (_, as, bs) =>
         val block = bs.map(_._2).toArray
+        // The half-up rounding that defines the cut is BigDecimal — but a
+        // BigDecimal per scanned pair dominated the whole operator (every
+        // pair allocates; almost none survive). Cheap double prefilter
+        // first: only pairs within half an ulp-of-the-grid of the
+        // threshold ever reach the exact rounding.
+        val pre = threshold - 5e-7
         as.flatMap { case (_, a) =>
           block.iterator
             .filter(b => a.id < b.id)
             .map(b => (a.id, b.id, cosine(a, b)))
             .filter { case (_, _, c) =>
-              BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble >= threshold
+              c >= pre &&
+                BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble >= threshold
             }
         }
       }
