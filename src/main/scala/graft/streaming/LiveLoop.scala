@@ -92,4 +92,120 @@ object LiveLoop {
       .transformWithState(new LoopProcessor(barMs, strategy), TimeMode.None(),
         OutputMode.Append())
   }
+
+  // ---- full loop: signal attach + staleness gate in the stream ----
+
+  /** Most recent signal as the strategy sees it at a bar close: `ageMs`
+    * is measured at the closing instant (the first tick of the next
+    * bucket — the event that proves the bar complete), `stale` applies
+    * the reference's stale-data guard (ST8) INSIDE the live loop: a
+    * signal older than the freshness budget must not drive decisions. */
+  case class SignalView(tsMs: Long, value: Double, ageMs: Long, stale: Boolean)
+
+  /** BAR_CLOSE strategy with the signal attached (X2/X3 + J2 live). */
+  trait SignalBarStrategy extends Serializable {
+    def lookbackBars: Int
+    def onBarClose(history: Seq[IncrementalBars.Bar],
+                   signal: Option[SignalView]): Seq[String]
+  }
+
+  /** [[LoopEvent]] plus the signal view at emission time (age/staleness
+    * are those of the closing instant; bars without any signal yet carry
+    * hasSignal=false). */
+  case class LoopEventS(key: String, barStartMs: Long, kind: String,
+                        action: String, close: Double, tickCount: Long,
+                        hasSignal: Boolean, signalValue: Double,
+                        signalAgeMs: Long, signalStale: Boolean)
+
+  /** One processor = the whole reference tick loop per key: as-of signal
+    * state (the [[StreamingAsOf]] ValueState), the forming bar, and the
+    * bounded bar history all live in the SAME keyed state store, so the
+    * loop needs one shuffle of the unioned feed and nothing else. Within
+    * a micro-batch, events apply in (ts, kind) order with signals first
+    * at equal timestamps (backward-join `<=` visibility). */
+  class LoopSignalProcessor(barMs: Long, strategy: SignalBarStrategy,
+                            maxSignalAgeMs: Long)
+      extends StatefulProcessor[String, StreamingAsOf.Event, LoopEventS] {
+
+    @transient private var open: ValueState[IncrementalBars.OpenBar] = _
+    @transient private var hist: ListState[IncrementalBars.Bar] = _
+    @transient private var last: ValueState[StreamingAsOf.LastSignal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState("open",
+        Encoders.product[IncrementalBars.OpenBar], TTLConfig.NONE)
+      hist = getHandle.getListState("bar_history",
+        Encoders.product[IncrementalBars.Bar], TTLConfig.NONE)
+      last = getHandle.getValueState("last_signal",
+        Encoders.product[StreamingAsOf.LastSignal], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[StreamingAsOf.Event],
+                                 timers: TimerValues): Iterator[LoopEventS] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[LoopEventS]
+      var cur = if (open.exists()) open.get() else null
+      var sig = if (last.exists()) last.get() else null
+
+      def view(nowMs: Long): Option[SignalView] =
+        Option(sig).map { s =>
+          val age = nowMs - s.tsMs
+          SignalView(s.tsMs, s.value, age, stale = age > maxSignalAgeMs)
+        }
+
+      def close(nowMs: Long): Unit = {
+        val bar = IncrementalBars.Bar(key, cur.barStartMs, cur.open, cur.high,
+          cur.low, cur.close, cur.volume, cur.tickCount)
+        val v = view(nowMs)
+        def ev(kind: String, action: String) = LoopEventS(key, bar.barStartMs,
+          kind, action, bar.close, bar.tickCount,
+          hasSignal = v.isDefined, signalValue = v.map(_.value).getOrElse(0.0),
+          signalAgeMs = v.map(_.ageMs).getOrElse(-1L),
+          signalStale = v.exists(_.stale))
+        out += ev("bar", "")
+        val bars = (hist.get().toSeq :+ bar).takeRight(strategy.lookbackBars)
+        hist.put(bars.toArray)
+        strategy.onBarClose(bars, v).foreach(a => out += ev("decision", a))
+      }
+
+      rows.toArray.sortBy(e => (e.tsMs, e.kind)).foreach { e =>
+        if (e.kind == 0) { // signal: last-wins under the monotone clock
+          if (sig == null || e.tsMs >= sig.tsMs)
+            sig = StreamingAsOf.LastSignal(e.tsMs, e.signalValue)
+        } else {
+          val bs = e.tsMs - e.tsMs % barMs
+          if (cur == null) {
+            cur = IncrementalBars.OpenBar(bs, e.price, e.price, e.price, e.price, 0.0, 1L)
+          } else if (bs == cur.barStartMs) {
+            cur = cur.copy(high = math.max(cur.high, e.price),
+              low = math.min(cur.low, e.price), close = e.price,
+              tickCount = cur.tickCount + 1)
+          } else {
+            close(e.tsMs)
+            cur = IncrementalBars.OpenBar(bs, e.price, e.price, e.price, e.price, 0.0, 1L)
+          }
+        }
+      }
+      if (cur != null) open.update(cur)
+      if (sig != null) last.update(sig)
+      out.iterator
+    }
+  }
+
+  /** The COMPLETE live pipeline of the reference's autotrader loop in one
+    * streaming job: tick feed + signal feed → as-of attach → incremental
+    * bars → staleness-gated BAR_CLOSE strategy → decision rows (signed
+    * actions, ready for [[graft.sim.SimKernel]] replay or a live broker
+    * adapter downstream). RocksDB state store required. */
+  def runWithSignals(ticks: Dataset[IncrementalBars.Tick],
+                     signals: Dataset[(String, Long, Double)],
+                     barMs: Long, strategy: SignalBarStrategy,
+                     maxSignalAgeMs: Long): Dataset[LoopEventS] = {
+    import ticks.sparkSession.implicits._
+    StreamingAsOf.ticksAsEvents(ticks)
+      .union(StreamingAsOf.signalsAsEvents(signals))
+      .groupByKey(_.key)
+      .transformWithState(new LoopSignalProcessor(barMs, strategy, maxSignalAgeMs),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
