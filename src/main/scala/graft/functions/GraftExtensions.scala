@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs.head, exprs(1))))
+    // whole-operator extension: the native as-of join's planner strategy
+    // (the DataFrame API in graft.plans.NativeAsOf also self-registers
+    // per session for ad-hoc use)
+    ext.injectPlannerStrategy(_ => graft.plans.NativeAsOf.AsOfJoinStrategy)
   }
 }

@@ -210,6 +210,37 @@ object TimeseriesQueries extends QueryPack {
         ORDER BY t.event_id"""),
       "Skew-safe bucketed as-of join, result-equal to q18 (SURVEY J1 at scale)"),
 
+    // J1 as a first-class Catalyst operator: custom logical node +
+    // planner strategy + physical sort-merge as-of
+    // (graft.plans.NativeAsOf), checked against the IDENTICAL native
+    // DuckDB ASOF oracle as q18/q73 — all three join paths are proven
+    // result-equal on the same data.
+    "q74_asof_native" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val ticks = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("ts_ms"))
+        val signals = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ns"),
+            col("event_id").as("sig_id"), col("value").as("sig_value"),
+            col("ts_ms").as("sig_ts_ms"))
+        graft.plans.NativeAsOf.backward(ticks, signals, Seq("user_id"),
+            "ts_ns", "ts_ns", Seq("sig_id", "sig_value", "sig_ts_ms"))
+          .withColumn("staleness_ms", col("ts_ms") - col("sig_ts_ms"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("sig_id"), col("sig_value"), col("staleness_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT t.event_id, t.user_id, epoch_ms(t.ts) AS ts_ms,
+          s.sig_id, s.sig_value, epoch_ms(t.ts) - s.sig_ts_ms AS staleness_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS sig_id, value AS sig_value,
+                        epoch_ms(ts) AS sig_ts_ms
+                        FROM events WHERE event_type = 'view') s
+          ON t.user_id = s.user_id AND t.ts >= s.ts
+        ORDER BY t.event_id"""),
+      "Native Catalyst as-of node (custom plan + strategy), result-equal to q18 (SURVEY §4)"),
+
     // W9: OBV running signed-volume sum.
     "q19_obv" -> QueryDef(
       (s, dir) => {

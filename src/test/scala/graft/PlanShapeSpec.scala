@@ -43,6 +43,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q74 native as-of keeps the sort-merge-join shape") {
+    val p = plan("q74_asof_native")
+    assert(p.contains("AsOfMergeJoin"), "native as-of node missing")
+    // one hash Exchange per child + the final orderBy's range Exchange;
+    // NO union of the two sides, NO window
+    val exchanges = countOf(p, "\\(\\d+\\) Exchange")
+    assert(exchanges <= 3, s"native as-of grew to $exchanges exchanges:\n$p")
+    assert(!p.contains("Union"), "union crept into the native as-of plan")
+    assert(!p.contains("Window"), "window crept into the native as-of plan")
+  }
+
   test("q15 OHLCV shares one key Exchange between window and aggregation") {
     val p = plan("q15_ohlcv_hourly")
     val exchanges = countOf(p, "\\(\\d+\\) Exchange")
