@@ -1,0 +1,81 @@
+package graft.tools
+
+/** Benchmark certificate (SURVEY A21 parity): the reference certifies a
+  * benchmark run and validates later runs against it inside a tolerance
+  * band and a validity window
+  * (`/root/reference/tests/simulation/benchmark/test_benchmark_certificate.py`) —
+  * a regression gate on measured throughput, not a one-off number.
+  *
+  * Engine-side this is pure bookkeeping over `Bench`'s per-query medians:
+  * a certificate pins (created-at, validity days, tolerance %, per-query
+  * seconds); validation flags expiry, missing queries, and per-query
+  * violations (current > baseline · (1 + tolerance)). Serialization uses
+  * the same minimal sorted-flat-JSON convention as the catalog manifest,
+  * so certificates are diffable text artifacts.
+  */
+object BenchCertificate {
+
+  case class Certificate(createdMs: Long, validDays: Int, tolerancePct: Double,
+                         queries: Map[String, Double])
+
+  case class Violation(query: String, baselineSec: Double, currentSec: Double) {
+    def ratio: Double = currentSec / baselineSec
+  }
+
+  case class Validation(expired: Boolean, missing: Seq[String],
+                        violations: Seq[Violation]) {
+    def ok: Boolean = !expired && missing.isEmpty && violations.isEmpty
+  }
+
+  def create(nowMs: Long, perQuerySec: Map[String, Double],
+             validDays: Int = 90, tolerancePct: Double = 20.0): Certificate =
+    Certificate(nowMs, validDays, tolerancePct, perQuerySec)
+
+  /** Validate a later run. A query missing from the RUN is a failure (the
+    * certified workload must still be runnable); a query missing from the
+    * CERTIFICATE is ignored (new queries aren't regressions). */
+  def validate(cert: Certificate, nowMs: Long,
+               current: Map[String, Double]): Validation = {
+    val expired = nowMs > cert.createdMs + cert.validDays * 86400000L
+    val missing = cert.queries.keys.filterNot(current.contains).toSeq.sorted
+    val band = 1.0 + cert.tolerancePct / 100.0
+    val violations = cert.queries.toSeq.sorted.flatMap { case (q, base) =>
+      current.get(q).filter(_ > base * band).map(Violation(q, base, _))
+    }
+    Validation(expired, missing, violations)
+  }
+
+  // ---- flat JSON persistence (sorted keys; diffable) ----
+
+  def toJson(c: Certificate): String = {
+    val qs = c.queries.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    s"""{"created_ms":${c.createdMs},"valid_days":${c.validDays},""" +
+      s""""tolerance_pct":${c.tolerancePct},"queries":$qs}"""
+  }
+
+  def fromJson(json: String): Certificate = {
+    def field(name: String): String = {
+      val i = json.indexOf(s""""$name":""")
+      require(i >= 0, s"certificate missing field $name")
+      val start = i + name.length + 3
+      val end = json.indexWhere(ch => ch == ',' || ch == '}', start)
+      json.substring(start, end)
+    }
+    val qStart = json.indexOf(""""queries":{""") + 11
+    val qEnd = json.indexOf('}', qStart)
+    val queries = json.substring(qStart, qEnd).split(',').filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(':')
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
+      }.toMap
+    Certificate(field("created_ms").toLong, field("valid_days").toInt,
+      field("tolerance_pct").toDouble, queries)
+  }
+
+  def write(path: java.nio.file.Path, c: Certificate): Unit =
+    java.nio.file.Files.write(path, toJson(c).getBytes("UTF-8"))
+
+  def read(path: java.nio.file.Path): Certificate =
+    fromJson(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+}

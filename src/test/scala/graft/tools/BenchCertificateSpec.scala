@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BenchCertificateSpec extends AnyFunSuite {
+  private val t0 = 1700000000000L
+  private val day = 86400000L
+  private val base = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.5)
+
+  test("a run inside the tolerance band validates") {
+    val cert = BenchCertificate.create(t0, base, validDays = 90, tolerancePct = 20)
+    val v = BenchCertificate.validate(cert, t0 + 10 * day,
+      Map("q1" -> 1.19, "q2" -> 2.39, "q3" -> 0.1, "q_new" -> 9.9))
+    assert(v.ok) // q_new is not a regression; faster is always fine
+  }
+
+  test("a query over the band is a violation with its ratio") {
+    val cert = BenchCertificate.create(t0, base, tolerancePct = 20)
+    val v = BenchCertificate.validate(cert, t0 + day,
+      Map("q1" -> 1.0, "q2" -> 3.0, "q3" -> 0.5))
+    assert(!v.ok)
+    assert(v.violations.map(_.query) === Seq("q2"))
+    assert(math.abs(v.violations.head.ratio - 1.5) < 1e-9)
+  }
+
+  test("missing certified queries and expiry both fail validation") {
+    val cert = BenchCertificate.create(t0, base, validDays = 90)
+    val missing = BenchCertificate.validate(cert, t0 + day, base - "q3")
+    assert(!missing.ok && missing.missing === Seq("q3"))
+    val expired = BenchCertificate.validate(cert, t0 + 91 * day, base)
+    assert(!expired.ok && expired.expired)
+    // boundary: the last valid instant still validates
+    assert(BenchCertificate.validate(cert, t0 + 90 * day, base).ok)
+  }
+
+  test("certificate round-trips through its flat JSON file form") {
+    val cert = BenchCertificate.create(t0, base, 90, 15.0)
+    val f = java.nio.file.Files.createTempFile("graft_cert", ".json")
+    BenchCertificate.write(f, cert)
+    val back = BenchCertificate.read(f)
+    assert(back.createdMs === cert.createdMs)
+    assert(back.validDays === cert.validDays)
+    assert(back.tolerancePct === cert.tolerancePct)
+    assert(back.queries === cert.queries)
+  }
+}
