@@ -39,6 +39,8 @@ object TextQueries extends QueryPack {
       Some("""SELECT doc_id,
           length(text)::BIGINT AS n_chars,
           len(string_split(text, ' '))::BIGINT AS n_tokens,
+          len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT
+            AS n_tokens_bpeish,
           len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_tokens,
           round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
                 / len(string_split(text, ' ')), 4) AS avg_token_len,

@@ -21,6 +21,19 @@ object TextMetrics {
 
   private def tokenArr(text: Column): Column = split(text, " ")
 
+  /** BPE-ish subword-token regex: one match per letter run, digit run, or
+    * punctuation run, each optionally absorbing one leading space — the
+    * shape of GPT-2-family pre-tokenizers, reduced to character classes
+    * that mean the same thing in Java regex and RE2 (so the DuckDB oracle
+    * can run the identical pattern). A whitespace token count under-counts
+    * LLM tokens badly on punctuation-heavy text; this is the standard
+    * cheap estimator. */
+  val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Estimated LLM token count: number of [[BpeishPattern]] matches. */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   /** Count occurrences of `word` as a whole token: filter the token array.
     * Exact (handles consecutive repeats) and expressible identically in
     * DuckDB (`len(list_filter(string_split(...), ...))`). */
@@ -50,13 +63,14 @@ object TextMetrics {
         col(id),
         length(col(text)).cast("long").as("n_chars"),
         nTok.cast("long").as("n_tokens"),
+        tokenCountBpeish(col(text)).as("n_tokens_bpeish"),
         size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
         round((length(col(text)) - nTok + 1).cast("double") / nTok, 4).as("avg_token_len"),
         round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"))
       .join(hits, Seq(id), "left")
       .na.fill(0L, Seq("__hits"))
-      .select(col(id), col("n_chars"), col("n_tokens"), col("n_unique_tokens"),
-        col("avg_token_len"), col("type_token_ratio"),
+      .select(col(id), col("n_chars"), col("n_tokens"), col("n_tokens_bpeish"),
+        col("n_unique_tokens"), col("avg_token_len"), col("type_token_ratio"),
         col("__hits").as("stopword_hits"),
         round(col("__hits").cast("double") / col("n_tokens"), 4).as("stopword_ratio"))
   }

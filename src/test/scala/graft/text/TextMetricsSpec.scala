@@ -13,6 +13,21 @@ class TextMetricsSpec extends SparkSpecBase {
     // stopwords: the, the, is, a -> 4 (consecutive 'the the' both counted)
     assert(m.getAs[Long]("stopword_hits") === 4L)
     assert(m.getAs[Long]("n_chars") === 20L)
+    assert(m.getAs[Long]("n_tokens_bpeish") === 6L) // pure words: = whitespace count
+  }
+
+  test("BPE-ish token count splits punctuation and digit runs like a pre-tokenizer") {
+    val df = Seq(
+      (1L, "don't stop!!"),     // don | ' | t | _stop | !! -> 5
+      (2L, "v1.2.3 (beta)"),    // v | 1 | . | 2 | . | 3 | _( | beta | ) -> 9
+      (3L, "plain words only")  // 3 -> whitespace count agrees on clean text
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.metrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens_bpeish") === 5L)
+    assert(out(1).getAs[Long]("n_tokens_bpeish") === 9L)
+    assert(out(2).getAs[Long]("n_tokens_bpeish") === 3L)
+    assert(out(0).getAs[Long]("n_tokens") === 2L) // whitespace count under-counts
   }
 
   test("languageId: picks max-scoring language, tie -> lexicographically first") {
