@@ -116,6 +116,36 @@ class StreamingBarsSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState warm start seeds the forming bar from history (ST4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val m0 = 1700000000000L - (1700000000000L % 60000L)
+    val warm = Seq(("BTCUSD",
+      IncrementalBars.OpenBar(m0, 100.0, 102.0, 99.0, 101.0, 5.0, 3L))).toDS()
+    val stream = MemoryStream[IncrementalBars.Tick]
+    val q = BarsTws.renderTicksWarm(stream.toDS(), 60000L, warm)
+      .writeStream.outputMode("append").format("memory").queryName("tws_warm").start()
+    try {
+      stream.addData(
+        IncrementalBars.Tick("BTCUSD", m0 + 30000L, 98.0, 1.0),
+        IncrementalBars.Tick("BTCUSD", m0 + 60000L, 103.0, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_warm").as[IncrementalBars.Bar].collect()
+      // minute-0 bar: open/high from history, low from the live tick,
+      // volume 5+1, count 3+1 — the live bar CONTINUED the historical one
+      assert(got.toSeq === Seq(IncrementalBars.Bar(
+        "BTCUSD", m0, 100.0, 102.0, 98.0, 98.0, 6.0, 4L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental stateful renderer emits closed bars exactly once, in order") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[IncrementalBars.Tick]
