@@ -83,6 +83,25 @@ object Dedup {
                      maxDf: Int = DefaultMaxDf): DataFrame =
     capByDf(shingles(df, id, text, n), maxDf)
 
+  /** 60-bit md5-derived shingle hash (first 15 hex chars as BIGINT — the
+    * same convention as [[simhash]] token hashes, reproducible in SQL as
+    * `('0x' || substr(md5(shingle), 1, 15))::BIGINT`).
+    *
+    * Every join stage downstream of shingling keys on this LONG instead
+    * of the shingle string: the distinct, the df cap, and the
+    * inverted-index self-join all shuffle 8-byte keys instead of
+    * ~25-byte text — a multiple off every exchange in the dedup family.
+    * Collisions (≈ per-doc-pairs/2⁶⁰) are mirrored exactly by the oracle,
+    * which hashes the same way. */
+  private[dedup] def shingleHash: Column =
+    conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+
+  /** Hashed [[cappedShingles]]: (id, shingle: long). */
+  private def hashedShingles(df: DataFrame, id: String, text: String, n: Int,
+                             maxDf: Int): DataFrame =
+    capByDf(shingles(df, id, text, n)
+      .select(col(id), shingleHash.as("shingle")), maxDf)
+
   /** Pairwise n-gram Jaccard similarity ≥ threshold.
     * Inverted-index self-join on shingle → common counts → |A∪B| by
     * inclusion-exclusion. Emits (id_a < id_b, jaccard).
@@ -93,7 +112,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, id: String, text: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sh = cappedShingles(df, id, text, n, maxDf).cache()
+    val sh = hashedShingles(df, id, text, n, maxDf).cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(id).as("id_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("shingle"))
@@ -124,19 +143,19 @@ object Dedup {
     (0 until numHashes).map(_ => (next() + 1, next()))
   }
 
-  /** MinHash signatures: shingle → ONE md5 → 32-bit int h, then slot s =
-    * min((a_s·h + b_s) mod P) over the doc's shingles. All `numHashes`
-    * slots are parallel aggregate columns in ONE pass (map-side partial
-    * min, one shuffle of id × numHashes longs) — no row explosion, and the
-    * expensive hash (md5) runs once per shingle instead of once per
-    * (seed × shingle). Output: one row per id, columns mh_0 … mh_{n-1}. */
+  /** MinHash signatures over HASHED shingles ((id, shingle: long) rows,
+    * see [[shingleHash]]): slot s = min((a_s·(h mod P) + b_s) mod P) over
+    * the doc's shingles. All `numHashes` slots are parallel aggregate
+    * columns in ONE pass (map-side partial min, one shuffle of
+    * id × numHashes longs) — no row explosion, and the expensive hash
+    * (md5) ran once per shingle upstream; the per-slot work here is pure
+    * integer arithmetic. Output: one row per id, columns mh_0 … mh_{n-1}. */
   def minhash(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
-    val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
-      .cast("long") % MinhashP
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), s) =>
       min((col("__h") * a + b) % MinhashP).as(s"mh_$s")
     }
-    sh.withColumn("__h", h).groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    sh.withColumn("__h", col("shingle") % MinhashP)
+      .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banded near-dup detection.
@@ -153,7 +172,7 @@ object Dedup {
                  numHashes: Int = 12, rowsPerBand: Int = 3,
                  threshold: Double = 0.5,
                  maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sh = cappedShingles(df, id, text, n, maxDf).cache()
+    val sh = hashedShingles(df, id, text, n, maxDf).cache()
     val mh = minhash(sh, id, numHashes)
     val nBands = numHashes / rowsPerBand
     // band signature = the band's minhash slots joined in seed order;

@@ -13,7 +13,9 @@ import graft.text.TextMetrics
   */
 object TextQueries extends QueryPack {
 
-  /** DuckDB CTEs for word tokens and distinct 3-gram shingles. */
+  /** DuckDB CTEs for word tokens, distinct 3-gram shingles, and the
+    * 60-bit md5 shingle hash the Spark side joins on (`shh` mirrors
+    * `Dedup.shingleHash` exactly, collisions included). */
   private val ShingleCte =
     """toks AS (
       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
@@ -22,13 +24,16 @@ object TextQueries extends QueryPack {
       |  SELECT DISTINCT doc_id,
       |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |  QUALIFY lead(tok, 2) OVER w IS NOT NULL)""".stripMargin
+      |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+      |shh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh)""".stripMargin
 
   private val JaccardVerifySql =
-    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
   override def queries: Seq[(String, QueryDef)] = Seq(
@@ -93,9 +98,8 @@ object TextQueries extends QueryPack {
           .map { case ((a, b), s) => s"($s, ${a}::BIGINT, ${b}::BIGINT)" }
           .mkString(", ")}) AS t(seed, a, b)),
         hs AS (
-          SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT
-                 % ${Dedup.MinhashP} AS h
-          FROM sh),
+          SELECT doc_id, shingle % ${Dedup.MinhashP} AS h
+          FROM shh),
         mh AS (
           SELECT doc_id, seed, min((h * a + b) % ${Dedup.MinhashP}) AS mh
           FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
