@@ -107,6 +107,31 @@ object Multimodal {
     })
   }
 
+  /** One sampled frame: the f-th frameBytes-sized slice of a media body. */
+  case class FrameItem(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame-sample STUB: treats the payload body as a dense sequence of
+    * `frameBytes`-sized frames and keeps every `everyNth` (a real codec
+    * plug-in would seek keyframes instead of slicing; the slicing, the
+    * row explosion, and the batch shape are the real pipeline). Trailing
+    * partial frames are dropped (codec convention). Per-partition
+    * flatMap — output payload ≤ input payload / everyNth, frames never
+    * shuffle. */
+  def sampleFrames(media: Dataset[MediaItem], frameBytes: Int,
+                   everyNth: Int): Dataset[FrameItem] = {
+    require(frameBytes > 0 && everyNth > 0,
+      s"frameBytes/everyNth must be positive, got $frameBytes/$everyNth")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { item =>
+      val body = item.payload.drop(6)
+      val nFrames = body.length / frameBytes
+      (0 until nFrames by everyNth).iterator.map { f =>
+        FrameItem(item.media_id, f, java.util.Arrays.copyOfRange(
+          body, f * frameBytes, (f + 1) * frameBytes))
+      }
+    })
+  }
+
   /** Resize STUB: halves the declared dimensions (metadata math is real;
     * the pixel resample would live in the codec plug-in). Payload is
     * re-headered, body carried unchanged. */

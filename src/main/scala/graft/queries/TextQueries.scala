@@ -120,6 +120,38 @@ object TextQueries extends QueryPack {
         ORDER BY c.id_a, c.id_b"""),
       "MinHash+LSH banded near-dup with exact-Jaccard verification"),
 
+    // Frame sampling over the video-kind media built from documents:
+    // every 4th 32-byte frame, digested. The oracle slices the SAME bytes
+    // via hex(encode(text)) (2 hex chars per byte — DuckDB has no blob
+    // substring, but hex-string slicing is byte-accurate), so the digests
+    // are hash-exact.
+    "q75_frame_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val w = 16 + (id % 64).toInt * 4
+            val h = 16 + (id % 48).toInt * 4
+            Multimodal.MediaItem(id, "video",
+              Multimodal.MediaCodec.encodeFakeHeader(w, h, 3, text.getBytes("UTF-8")))
+          }
+        Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 4).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            md5(hex(col("payload"))).as("digest"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH v AS (
+          SELECT doc_id::BIGINT AS media_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) // 32 AS n_frames
+          FROM documents WHERE doc_id % 3 = 2),
+        fr AS (SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx, hx FROM v)
+        SELECT media_id, frame_idx::INT AS frame_idx,
+               md5(substring(hx, frame_idx * 64 + 1, 64)) AS digest
+        FROM fr ORDER BY media_id, frame_idx"""),
+      "Frame sampling over video payloads, byte-exact digests (north-star multimodal)"),
+
     "q29_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(balanced(Tables.documents(s, dir)), "doc_id", "text", bits = 60)
         .orderBy(col("doc_id")),

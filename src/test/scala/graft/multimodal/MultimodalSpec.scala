@@ -40,4 +40,19 @@ class MultimodalSpec extends SparkSpecBase {
       "vec_id", "embedding", k = 2)
     assert(topk.count() === 120L) // 60 items x top-2
   }
+
+  test("frame sampling keeps every Nth fixed-size slice and drops the tail") {
+    val body = Array.tabulate[Byte](100)(_.toByte) // 3 full 32-byte frames + tail
+    val item = Multimodal.MediaItem(7L, "video",
+      Multimodal.MediaCodec.encodeFakeHeader(4, 4, 3, body))
+    val out = Multimodal.sampleFrames(Seq(item).toDS(), frameBytes = 32, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 2)) // frames 0,1,2 -> keep 0, 2
+    assert(out(0).payload.toSeq === body.slice(0, 32).toSeq)
+    assert(out(1).payload.toSeq === body.slice(64, 96).toSeq)
+    // a body shorter than one frame emits nothing
+    val tiny = Multimodal.MediaItem(8L, "video",
+      Multimodal.MediaCodec.encodeFakeHeader(4, 4, 3, new Array[Byte](10)))
+    assert(Multimodal.sampleFrames(Seq(tiny).toDS(), 32, 1).count() === 0L)
+  }
 }
