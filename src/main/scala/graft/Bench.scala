@@ -17,10 +17,18 @@ object Bench {
     // median of repeated runs absorbs JIT/GC noise). Default 1 run —
     // the driver contract is unchanged unless the env asks for more.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // Dev-only subset filter (comma-separated query names) for scale-ladder
+    // runs at big SFs, where the documented-quadratic exact paths would
+    // dominate wall-clock without adding information. Unset = full suite
+    // (the driver contract).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.localFromEnv()
     // warmup: JVM + parquet reader + codegen paths
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -52,8 +52,10 @@ object VectorQueries extends QueryPack {
         sigs AS (SELECT vec_id, t, string_agg(b, '' ORDER BY bit_idx) AS bits
           FROM sig GROUP BY vec_id, t),
         buckets AS (SELECT t::VARCHAR || ':' || bits AS bucket, vec_id FROM sigs),
+        ok AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 256),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM buckets a JOIN buckets b USING (bucket) WHERE a.vec_id <> b.vec_id),
+          FROM buckets a JOIN buckets b USING (bucket) JOIN ok USING (bucket)
+          WHERE a.vec_id <> b.vec_id),
         scored AS (SELECT cand.id_a, cand.id_b,
             list_cosine_similarity(a.v, b.v) AS cosine
           FROM cand JOIN p a ON cand.id_a = a.vec_id
@@ -98,20 +100,23 @@ object VectorQueries extends QueryPack {
         ORDER BY id_a, id_b"""),
       "Embedding-cosine near-dup pairs >= threshold (blocked exact grid)"),
 
-    // IVF ANN: md5-seeded coarse quantizer (16 cells, probe 4) — the
-    // inverted-file scale path. Deterministic centroids + micro-quantized
-    // cell affinities make this approximate path ORACLE-EXACT (unlike the
-    // LSH path q34, whose recall is spec-checked instead).
+    // IVF ANN: md5-seeded coarse quantizer (ADAPTIVE cells = max(16,
+    // ceil(sqrt(n))), probe 4) — the inverted-file scale path. The
+    // oracle computes the SAME cell count from count(*), so like q34's
+    // adaptive width this approximate path stays ORACLE-EXACT at every
+    // scale factor. Deterministic centroids + micro-quantized cell
+    // affinities settle the argmax identically in both engines.
     "q71_ivf_ann" -> QueryDef(
       (s, dir) => Similarity.ivfCosineTopK(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 3, cells = 16, probes = 4)
+          "vec_id", "embedding", k = 3, cells = 0, probes = 4)
         .orderBy(col("id_a"), col("rank")),
       Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nc AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS nc FROM p),
         comp AS (SELECT c.range::INT AS c, j.range::INT AS j,
             ('0x' || substr(md5('ivf:' || c.range::VARCHAR || ':'
                || j.range::VARCHAR), 1, 8))::BIGINT
               / 2147483648.0 - 1.0 AS comp
-          FROM range(16) c, range(64) j),
+          FROM range(65536) c, range(64) j, nc WHERE c.range < nc.nc),
         cent AS (SELECT c, list(comp ORDER BY j) AS cv FROM comp GROUP BY c),
         dots AS (SELECT p.vec_id, cent.c,
             floor(list_dot_product(p.v, cent.cv) * 1e6)::BIGINT AS q

@@ -223,14 +223,24 @@ object Similarity {
     *     an assignment to the boundary case of a sum straddling a 1e-6
     *     grid line (oracle-exactness is near-certain, not guaranteed);
     *   - one shuffle of (cell, vector) rows, replication factor =
-    *     `probes`; each cell task scans only its member block — at scale,
-    *     `cells` grows ~√n, keeping per-task work flat.
+    *     `probes`; each cell task scans only its member block;
+    *   - `cells = 0` (the default) ADAPTS the cell count to the input:
+    *     cells = max(16, ceil(√n)) — the classic IVF balance, which
+    *     keeps assignment (n·cells·d) and probe-scan (probes·n·(n/cells)
+    *     ·d) both at O(n^1.5·d). A FIXED cell count is quadratic in the
+    *     scan term — measured: 200k vectors at 16 cells ran 216 s
+    *     (scaling exponent 2.0/decade); adaptive cells bring the scan
+    *     back to n^1.5. The count comes from the source relation
+    *     (metadata-only on parquet).
     *
     * Recall < 1 by construction: only members of probed cells compete. */
   def ivfCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
-                    cells: Int = 16, probes: Int = 2): DataFrame = {
+                    cells: Int = 0, probes: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val nCells =
+      if (cells > 0) cells
+      else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val vecs = toVecs(df, id, vec)
       .repartition(spark.sparkContext.defaultParallelism)
     // (cell, isMember, vec): each vector lands in its `probes` best cells
@@ -239,16 +249,16 @@ object Similarity {
       var cent: Array[Array[Double]] = null
       it.flatMap { a =>
         if (cent == null || cent(0).length < a.v.length)
-          cent = centroidMatrix(cells, a.v.length)
-        val q = new Array[Long](cells)
+          cent = centroidMatrix(nCells, a.v.length)
+        val q = new Array[Long](nCells)
         var c = 0
-        while (c < cells) {
+        while (c < nCells) {
           var s = 0.0; var j = 0
           while (j < a.v.length) { s += a.v(j) * cent(c)(j); j += 1 }
           q(c) = math.floor(s * 1e6).toLong
           c += 1
         }
-        val order = (0 until cells).sortBy(c => (-q(c), c))
+        val order = (0 until nCells).sortBy(c => (-q(c), c))
         order.take(probes).zipWithIndex.iterator
           .map { case (cell, i) => (cell, i == 0, a) }
       }
@@ -434,7 +444,8 @@ object Similarity {
     * Recall < 1 by construction: only pairs sharing a full signature in
     * ≥1 of the `tables` tables are compared. */
   def lshCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
-                    planes: Int = 0, tables: Int = 8): DataFrame = {
+                    planes: Int = 0, tables: Int = 8,
+                    maxBucket: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Adaptive width needs only the ROW COUNT — take it from the source
@@ -460,12 +471,23 @@ object Similarity {
         (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a.id))
       }
     }
+    // Bucket-size cap — the LSH analogue of the dedup family's shingle
+    // df cap: a degenerate bucket (e.g. thousands of exact-duplicate
+    // embeddings sharing every sign bit) is quadratic within itself, so
+    // buckets beyond `maxBucket` generate no pairs at all. The expected
+    // bucket is ~32 by the adaptive width, so the default cap (8× that)
+    // only triggers on pathological clusters; members of a skipped
+    // bucket still pair through their other, finer tables. Deterministic
+    // (pure size check), so the oracle reproduces it exactly.
     val pairs = buckets.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._2).toArray
-        scala.util.Sorting.quickSort(ids)
-        for (i <- ids.indices.iterator; j <- ids.indices.iterator if i != j)
-          yield (ids(i), ids(j))
+        if (ids.length > maxBucket) Iterator.empty
+        else {
+          scala.util.Sorting.quickSort(ids)
+          for (i <- ids.indices.iterator; j <- ids.indices.iterator if i != j)
+            yield (ids(i), ids(j))
+        }
       }
       .distinct()
       .toDF("id_a", "id_b")

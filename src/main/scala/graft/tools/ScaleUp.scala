@@ -22,7 +22,10 @@ import graft.GraftSession
   *     every dedup pair count grow quadratically in the factor;
   *   - `embeddings` rotates the vector by rep positions: norms and
   *     component distribution unchanged, but copies land in different
-  *     LSH buckets / IVF cells instead of piling into the same ones;
+  *     LSH buckets / IVF cells instead of piling into the same ones
+  *     (rotation is mod the dimension, so factors beyond d reuse
+  *     rotations — at factor 100 over 64-dim vectors, 36 copies
+  *     duplicate an earlier copy's vector; harmless for bench shape);
   *   - `events` keeps its timestamps (density grows, horizon fixed —
   *     how a busier venue looks) and shifts event/user ids.
   *

@@ -65,6 +65,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(approx.nonEmpty && approx.keySet.subsetOf(exact.keySet))
   }
 
+  test("ivf adaptive cell count: cells=0 resolves to max(16, ceil(sqrt(n)))") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    // n=200 -> ceil(sqrt)=15 -> floor of 16 applies: adaptive == explicit 16
+    val adaptive = Similarity.ivfCosineTopK(emb, "vec_id", "embedding", 1,
+      cells = 0, probes = 4).collect().map(_.toSeq).toSet
+    val explicit = Similarity.ivfCosineTopK(emb, "vec_id", "embedding", 1,
+      cells = 16, probes = 4).collect().map(_.toSeq).toSet
+    assert(adaptive === explicit)
+  }
+
+  test("lsh bucket cap: a degenerate duplicate cluster generates no quadratic bucket") {
+    import org.apache.spark.sql.functions._
+    // 1000 exact-duplicate embeddings share every sign bit in every table:
+    // one 1000-member bucket per table = ~1M pairs each without the cap
+    val dups = spark.range(1000).select(col("id").as("vec_id"),
+      expr("array(1.0F, 0.5F, -0.25F, 0.125F)").as("embedding"))
+    val capped = Similarity.lshCosineTopK(dups, "vec_id", "embedding", 1,
+      planes = 4, tables = 2, maxBucket = 256)
+    assert(capped.count() === 0L) // every bucket is degenerate -> skipped
+    // sanity: it IS the cap doing that, not the bucketing
+    val uncapped = Similarity.lshCosineTopK(dups, "vec_id", "embedding", 1,
+      planes = 4, tables = 2, maxBucket = 2000)
+    assert(uncapped.count() === 1000L) // top-1 per vector, all cosine 1.0
+  }
+
   test("ivfCosineTopKTrained: k-means refinement does not hurt recall") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 1)
