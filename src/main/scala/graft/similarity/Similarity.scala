@@ -431,15 +431,25 @@ object Similarity {
   /** ANN top-k via multi-table random-hyperplane LSH — the 100 TB scale
     * path, with NO driver-side vector state:
     *
-    *   - candidate generation shuffles only (bucket, id) pairs; vectors
-    *     themselves never enter the bucket join;
-    *   - scoring joins the candidate (id_a, id_b) pairs back to the
-    *     distributed vector table by id (two hash joins — the vector
-    *     payload moves once per side, O(candidates · d) total);
+    *   - vectors ride INTO their buckets (`tables`× payload replication,
+    *     one shuffle) and every same-bucket pair is scored IN-KERNEL —
+    *     no candidate-pair materialization and no join-back. The earlier
+    *     form shuffled bare (bucket, id) pairs and rejoined candidates
+    *     to the vector table; measured at 500k×64d it was join-bound
+    *     (the two hash joins moved the candidate set twice more than the
+    *     8× payload replication costs) — see PLAN.md round-5 ladder;
+    *   - a pair sharing a signature in several tables is scored in each,
+    *     then collapsed by `distinct` on the scored triple — cosine is
+    *     deterministic (index-ascending summation, the [[cosine]] kernel),
+    *     so duplicates agree bit-for-bit and the result set is identical
+    *     to the join form's;
     *   - `planes = 0` (default) adapts the signature width to the input:
     *     planes = max(4, ceil(log2(n / 32))) keeps the expected bucket
     *     size ~32, so per-bucket pair generation stays O(n) overall as n
-    *     grows instead of O((n/2^planes)²) blowing up.
+    *     grows instead of O((n/2^planes)²) blowing up;
+    *   - `maxBucket` skips degenerate buckets (exact-duplicate clusters)
+    *     entirely — quadratic-within-a-bucket insurance, like the dedup
+    *     family's shingle df cap.
     *
     * Recall < 1 by construction: only pairs sharing a full signature in
     * ≥1 of the `tables` tables are compared. */
@@ -468,38 +478,25 @@ object Similarity {
       it.flatMap { a =>
         if (mat == null || mat(0).length < a.v.length)
           mat = planeMatrix(nTables * nPlanes, a.v.length)
-        (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a.id))
+        (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a))
       }
     }
-    // Bucket-size cap — the LSH analogue of the dedup family's shingle
-    // df cap: a degenerate bucket (e.g. thousands of exact-duplicate
-    // embeddings sharing every sign bit) is quadratic within itself, so
-    // buckets beyond `maxBucket` generate no pairs at all. The expected
-    // bucket is ~32 by the adaptive width, so the default cap (8× that)
-    // only triggers on pathological clusters; members of a skipped
-    // bucket still pair through their other, finer tables. Deterministic
-    // (pure size check), so the oracle reproduces it exactly.
-    val pairs = buckets.groupByKey(_._1)
+    // In-kernel scoring per bucket: the cap skips degenerate buckets
+    // (see scaladoc); inside a kept bucket every ordered pair is scored
+    // with the shared summation-order kernel. Duplicate pairs from other
+    // tables collapse in the distinct below (bit-identical cosines).
+    val scored = buckets.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_._2).toArray
-        if (ids.length > maxBucket) Iterator.empty
+        val vs = it.map(_._2).toArray
+        if (vs.length > maxBucket) Iterator.empty
         else {
-          scala.util.Sorting.quickSort(ids)
-          for (i <- ids.indices.iterator; j <- ids.indices.iterator if i != j)
-            yield (ids(i), ids(j))
+          java.util.Arrays.sort(vs, Ordering.by((v: Vec) => v.id))
+          for (i <- vs.indices.iterator; j <- vs.indices.iterator if i != j)
+            yield (vs(i).id, vs(j).id, cosine(vs(i), vs(j)))
         }
       }
       .distinct()
-      .toDF("id_a", "id_b")
-    val flat = vecs.toDF()
-    val scored = pairs
-      .join(flat.select(col("id").as("id_a"), col("v").as("__va"),
-        col("norm").as("__na")), Seq("id_a"))
-      .join(flat.select(col("id").as("id_b"), col("v").as("__vb"),
-        col("norm").as("__nb")), Seq("id_b"))
-      .withColumn("cosine",
-        graft.functions.ArrayDotProduct.arrayDot(col("__va"), col("__vb"))
-          / (col("__na") * col("__nb")))
+      .toDF("id_a", "id_b", "cosine")
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b").asc)
     scored

@@ -20,12 +20,11 @@ import graft.GraftSession
   *     near-dup/shingle structure is preserved WITHIN a copy and shares
   *     nothing ACROSS copies — identical text copies would instead make
   *     every dedup pair count grow quadratically in the factor;
-  *   - `embeddings` rotates the vector by rep positions: norms and
-  *     component distribution unchanged, but copies land in different
-  *     LSH buckets / IVF cells instead of piling into the same ones
-  *     (rotation is mod the dimension, so factors beyond d reuse
-  *     rotations — at factor 100 over 64-dim vectors, 36 copies
-  *     duplicate an earlier copy's vector; harmless for bench shape);
+  *   - `embeddings` rotates the vector by rep positions and NEGATES it
+  *     for reps beyond the dimension: norms, component distribution,
+  *     and within-copy cosine structure unchanged, but every copy up to
+  *     2·d is a distinct vector in a different LSH bucket / IVF cell —
+  *     no duplicate-vector artifact at factor 100 over 64 dims;
   *   - `events` keeps its timestamps (density grows, horizon fixed —
   *     how a busier venue looks) and shifts event/user ids.
   *
@@ -110,7 +109,11 @@ object ScaleUp {
     val rotated = when(rot === 0, col("embedding")).otherwise(
       concat(slice(col("embedding"), rot + 1, d - rot),
         slice(col("embedding"), lit(1), rot)))
+    // second lap of rotations (rep >= d) flips sign: same geometry per
+    // copy, globally distinct vectors up to factor 2d
+    val placed = when((col("__rep") / d).cast("int") % 2 === 0, rotated)
+      .otherwise(transform(rotated, x => -x))
     write(reps(emb).select(shifted("vec_id", vecS),
-      rotated.as("embedding"), col("label")), "embeddings", 4)
+      placed.as("embedding"), col("label")), "embeddings", 4)
   }
 }
