@@ -231,10 +231,18 @@ object Dedup {
     * Candidate generation is the pigeonhole banding used at scale: split
     * the fingerprint into maxDist+1 bit segments — any pair within maxDist
     * must agree exactly on ≥1 segment — and equi-join on (segment, value).
-    * No cartesian product anywhere. */
+    * No cartesian product anywhere.
+    *
+    * The fingerprints RIDE THROUGH the segment join (8 bytes each), so
+    * hamming computes and filters in the join stage itself — candidates
+    * failing the distance cut die before the dedup `distinct`, and there
+    * is no join-back to the fingerprint table. The earlier form
+    * distinct-ed the full candidate set, then joined fingerprints on
+    * twice; carrying 16 bytes is far cheaper than moving every candidate
+    * pair two more times. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    bits: Int = 16, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(df, id, text, bits).cache()
+    val sh = simhash(df, id, text, bits)
     val nSeg = maxDist + 1
     val segBits = bits / nSeg
     require(segBits > 0, "bits must exceed maxDist")
@@ -242,16 +250,15 @@ object Dedup {
     val banded = sh.crossJoin(broadcast(segs))
       .withColumn("seg_val",
         expr(s"shiftright(simhash, cast(seg * $segBits as int)) % ${1L << segBits}"))
-    val cand = banded.select(col(id).as("id_a"), col("seg"), col("seg_val"))
-      .join(banded.select(col(id).as("id_b"), col("seg"), col("seg_val")),
-        Seq("seg", "seg_val"))
+    val a = banded.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+      col("seg"), col("seg_val"))
+    val b = banded.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      col("seg"), col("seg_val"))
+    a.join(b, Seq("seg", "seg_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(sh.select(col(id).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(id).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxDist)
+      .filter(col("hamming") <= maxDist) // prune BEFORE the pair dedup
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 }
