@@ -102,23 +102,67 @@ object Dedup {
     capByDf(shingles(df, id, text, n)
       .select(col(id), shingleHash.as("shingle")), maxDf)
 
-  /** Pairwise n-gram Jaccard similarity ≥ threshold.
-    * Inverted-index self-join on shingle → common counts → |A∪B| by
-    * inclusion-exclusion. Emits (id_a < id_b, jaccard).
-    *
-    * `maxDf` caps shingle document frequency ([[capByDf]]): similarity is
-    * computed over the capped shingle universe, keeping the self-join's
-    * per-key fan-out bounded under adversarial skew (hot boilerplate). */
-  def ngramJaccard(df: DataFrame, id: String, text: String,
-                   n: Int = 3, threshold: Double = 0.5,
-                   maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sh = hashedShingles(df, id, text, n, maxDf).cache()
+  /** Exact-Jaccard verification of candidate (id_a < id_b) pairs over a
+    * (id, shingle) table: candidate-restricted intersection counts,
+    * |A∪B| by inclusion-exclusion, threshold on the exact value. Shared
+    * by [[ngramJaccard]] (prefix-filter candidates) and [[minhashLsh]]
+    * (banded candidates). */
+  private def verifyJaccard(sh: DataFrame, id: String, cand: DataFrame,
+                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(id).as("id_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Pairwise n-gram Jaccard similarity ≥ threshold.
+    * Inverted index over shingle → per-posting-list pair generation
+    * IN-KERNEL → common counts → |A∪B| by inclusion-exclusion. Emits
+    * (id_a < id_b, jaccard).
+    *
+    * Pair generation runs inside one `groupByKey(shingle)` pass — each
+    * posting list emits its ordered pairs directly — instead of a
+    * two-sided self-join (which shuffles the shingle stream twice).
+    *
+    * Measured dead end, recorded so it isn't retried: PPJoin-style
+    * prefix filtering (index only each doc's |S|−⌊t·|S|⌋+1 smallest-hash
+    * shingles, verify candidates exactly) ran 3× SLOWER here at sf10 —
+    * prefix candidates (any shared low-hash shingle, no similarity
+    * weighting) are far looser than direct common-counting on this
+    * corpus, and the candidate-restricted verify join explodes each
+    * loose pair by both full shingle lists. Prefix filtering only pays
+    * with the full PPJoin length+positional bounds on top; the direct
+    * common-count form needs neither.
+    *
+    * `maxDf` caps shingle document frequency ([[capByDf]]): similarity is
+    * computed over the capped shingle universe, keeping per-posting-list
+    * fan-out bounded under adversarial skew (hot boilerplate). */
+  def ngramJaccard(df: DataFrame, id: String, text: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = DefaultMaxDf): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = hashedShingles(df, id, text, n, maxDf)
+      .select(col(id).cast("long").as(id), col("shingle")).cache()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val common = sh.as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        java.util.Arrays.sort(ids)
+        for (i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator)
+          yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
       .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -192,17 +236,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify candidates with exact Jaccard
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(id).as("id_a"), col("shingle"))
-    val b = sh.select(col(id).as("id_b"), col("shingle"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(sh, id, cand, threshold)
   }
 
   /** SimHash fingerprint over distinct tokens, `bits` ≤ 60.

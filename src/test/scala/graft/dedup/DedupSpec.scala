@@ -91,6 +91,40 @@ class DedupSpec extends SparkSpecBase {
     assert(l.count() === 0)
   }
 
+  test("prefix filter is lossless: matches a full inverted-index join exactly") {
+    import org.apache.spark.sql.functions._
+    // overlap-heavy corpus: 60 docs built from a sliding window over a
+    // shared vocabulary, so jaccard values span the whole (0, 1] range
+    val rows = (0 until 60).map { i =>
+      val words = (0 until 12).map(w => s"w${(i / 3) * 2 + w}")
+      (i.toLong, words.mkString(" "))
+    }
+    val corpus = spark.createDataFrame(rows).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      // independent reference: FULL inverted-index self-join, no prefix
+      val sh = Dedup.cappedShingles(corpus, "doc_id", "text", 3)
+        .select(col("doc_id").cast("long").as("doc_id"), col("shingle"))
+      val sizes = sh.groupBy("doc_id").count()
+      val want = sh.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("count").as("sz_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("count").as("sz_b")), Seq("id_b"))
+        .withColumn("j", col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          BigDecimal(r.getAs[Double]("j")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      assert(got === want, s"prefix filter lost/invented pairs at t=$t")
+      assert(want.nonEmpty, s"degenerate reference set at t=$t")
+    }
+  }
+
   test("df cap above the corpus size is a no-op (oracle-compat guarantee)") {
     val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4, maxDf = 10000)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
