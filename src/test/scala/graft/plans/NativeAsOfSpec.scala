@@ -40,6 +40,24 @@ class NativeAsOfSpec extends SparkSpecBase {
     assert(native === idiom)
   }
 
+  test("native as-of accepts TimestampType event time (micros-backed)") {
+    val ticks = Seq(("X", "2026-01-01 10:00:05", 1), ("X", "2026-01-01 10:00:20", 2))
+      .toDF("sym", "ts", "tick_id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val signals = Seq(("X", "2026-01-01 10:00:10", "s1"))
+      .toDF("sym", "ts", "sig")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = NativeAsOf.backward(ticks, signals, Seq("sym"), "ts", "ts", Seq("sig"))
+      .orderBy("tick_id").collect()
+    assert(out(0).getAs[String]("sig") === null)
+    assert(out(1).getAs[String]("sig") === "s1")
+    // and a non-long-backed type is rejected loudly, not silently wrong
+    val bad = ticks.withColumn("ts", col("ts").cast("date"))
+    val e = intercept[IllegalArgumentException](
+      NativeAsOf.backward(bad, signals, Seq("sym"), "ts", "ts", Seq("sig")))
+    assert(e.getMessage.contains("long-backed"))
+  }
+
   test("plan shape: merge node, one exchange+sort per side, no union/window") {
     val ticks = Seq(("X", 5L, 1)).toDF("sym", "ts", "tick_id")
     val signals = Seq(("X", 1L, "s")).toDF("sym", "ts", "sig")
