@@ -54,9 +54,13 @@ object Catalog {
     * (open dataset → read its KV), and visible to any JSON reader.
     * Written through the path's Hadoop FileSystem, so it works on every
     * scheme the data write accepts. The sidecar is written to a temp name
-    * and renamed into place, so a crash mid-write can never leave a
-    * truncated `_manifest.json` behind — readers see either the previous
-    * complete manifest or the new complete one. */
+    * and renamed into place with OVERWRITE semantics (`FileContext.rename`)
+    * where the scheme provides an AbstractFileSystem — there a crash can
+    * never leave a truncated or absent `_manifest.json` behind; readers
+    * see either the previous complete manifest or the new complete one.
+    * Schemes without FileContext support fall back to delete-then-rename,
+    * which has a small crash window where NO manifest exists (readers then
+    * see "no lineage recorded", never a truncated file). */
   def writeWithManifest(df: DataFrame, path: String,
                         meta: Map[String, String]): Unit = {
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
@@ -65,12 +69,21 @@ object Catalog {
       .mkString("{", ",", "}")
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
     val tmp = new org.apache.hadoop.fs.Path(path, "_manifest.json.tmp")
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false) // rename does not overwrite on all schemes
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"manifest rename failed: $tmp -> $p")
+    try {
+      // Atomic replace: rename with OVERWRITE never exposes a state with
+      // no manifest (delete+rename does, between the two calls).
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(p, false) // non-atomic fallback: see scaladoc
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"manifest rename failed: $tmp -> $p")
+    }
   }
 
   /** Read back a [[writeWithManifest]] manifest as a flat KV map. Read

@@ -1,8 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType, StringType, StructField, StructType}
 
 /** Document deduplication for large-scale training-data pipelines:
   * exact, n-gram Jaccard, MinHash+LSH, and SimHash.
@@ -102,65 +103,196 @@ object Dedup {
     capByDf(shingles(df, id, text, n)
       .select(col(id), shingleHash.as("shingle")), maxDf)
 
-  /** Exact-Jaccard verification of candidate (id_a < id_b) pairs over a
-    * (id, shingle) table: candidate-restricted intersection counts,
-    * |A∪B| by inclusion-exclusion, threshold on the exact value. Shared
-    * by [[ngramJaccard]] (prefix-filter candidates) and [[minhashLsh]]
-    * (banded candidates). */
-  private def verifyJaccard(sh: DataFrame, id: String, cand: DataFrame,
-                            threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(id).as("id_a"), col("shingle"))
-    val b = sh.select(col(id).as("id_b"), col("shingle"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+  /** In-kernel ordering for the pair-generation id column. Integral ids
+    * compare numerically; string ids compare as UTF-8 bytes — the SAME
+    * order as Spark's `Column <` (UTF8String binary) and DuckDB's default
+    * collation, so the emitted id_a < id_b orientation matches what an
+    * equivalent SQL self-join would produce. Anything else is rejected
+    * LOUDLY at plan-build time: a silent cast (the old behavior) turned
+    * non-numeric ids into nulls at runtime and changed the output id type
+    * for every caller. */
+  private def idOrdering(dt: DataType): Ordering[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Ordering.by((v: Any) => v.asInstanceOf[Number].longValue)
+    case StringType => new Ordering[Any] {
+      override def compare(x: Any, y: Any): Int = {
+        val a = x.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(a.length, b.length)
+      }
+    }
+    case other => throw new IllegalArgumentException(
+      s"pair-generation id column must be integral or string, got $other " +
+        "(ids are ordered in-kernel and keep their type in id_a/id_b)")
+  }
+
+  /** Per-doc shingle arrays + set size from a (id, shingle[, __df]) table.
+    * With `dfOrdered` the array is sorted by (document frequency asc,
+    * hash) — the canonical PPJoin token order (rarest first), so a
+    * prefix `slice` of the array indexes each doc's RAREST shingles and
+    * prefix posting lists stay short. Input must then carry `__df`. */
+  private def docArrays(sh: DataFrame, id: String,
+                        dfOrdered: Boolean): DataFrame = {
+    val arr =
+      if (dfOrdered)
+        transform(array_sort(collect_list(struct(col("__df"), col("shingle")))),
+          s => s.getField("shingle"))
+      else collect_list(col("shingle"))
+    sh.groupBy(col(id)).agg(arr.as("arr"), count(lit(1)).as("sz"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a < id_b) pairs against
+    * per-doc shingle arrays — IN-KERNEL set intersection instead of the
+    * old double equi-join + `groupBy(id_a, id_b)` count, which shuffled
+    * every (pair, shared-shingle) occurrence. Here the only moved rows
+    * are the candidates themselves (joined twice against the linear-size
+    * array table); the intersection is computed where the pair lands.
+    * This was the last measured super-linear stage in the dedup family
+    * (sf10 exponents 0.72/0.79): the pair-occurrence stream is gone.
+    *
+    * 2⁻⁶⁰-probability caveat, mirrored nowhere: two DIFFERENT shingles of
+    * the SAME doc colliding to one 60-bit hash would make
+    * `array_intersect` (set semantics) count 1 where the old join form
+    * counted the multiplicity product. At ~10³ shingles/doc the per-doc
+    * probability is ~10⁻¹², and the DuckDB oracle's join form would
+    * diverge identically from the true string-shingle Jaccard. */
+  private def verifyJaccardArrays(docs: DataFrame, id: String,
+                                  cand: DataFrame,
+                                  threshold: Double): DataFrame =
+    cand
+      .join(docs.select(col(id).as("id_a"), col("arr").as("__arr_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(docs.select(col(id).as("id_b"), col("arr").as("__arr_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("common",
+        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** PPJoin prefix length for set size `sz` at Jaccard `t`:
+    * |S| − ⌈t·|S|⌉ + 1 (ε-slack keeps FP rounding from over-pruning —
+    * looseness only admits extra candidates; the verify stage is exact). */
+  private def prefixLenCol(sz: Column, t: Double): Column =
+    greatest(lit(1L), sz - ceil(sz * t - 1e-9) + 1L).cast("int")
+
+  /** PPJoin candidate generation over exploded prefixes
+    * (shingle, __id, pos, sz): one `groupByKey(shingle)` pass emits the
+    * ordered pairs of each PREFIX posting list, pruned by the two PPJoin
+    * bounds before anything is shuffled:
+    *
+    *   - length: jaccard ≥ t needs min(szA,szB) ≥ t·max(szA,szB)
+    *     (common ≤ min, union ≥ max);
+    *   - positional: a pair first meeting at 0-based prefix positions
+    *     (pA, pB) has common ≤ 1 + min(szA−1−pA, szB−1−pB); prune when
+    *     that bound is below the required ⌈t·(szA+szB)/(1+t)⌉. Pruning
+    *     is per-occurrence and the FIRST shared shingle of a true pair
+    *     always survives both bounds (its bound ≥ the true overlap), so
+    *     no true pair is lost.
+    *
+    * All bounds carry ε-slack: FP rounding may only loosen them, never
+    * tighten — extra candidates are killed by the exact verify. */
+  private def ppjoinCandidates(prefixed: DataFrame, idType: DataType,
+                               threshold: Double): DataFrame = {
+    val ord = idOrdering(idType)
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType)))
+    val eps = 1e-9
+    prefixed
+      .select(col("shingle"), col("__id"), col("pos"), col("sz"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (_: Long, it: Iterator[Row]) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows, new java.util.Comparator[Row] {
+          override def compare(r1: Row, r2: Row): Int =
+            ord.compare(r1.get(1), r2.get(1))
+        })
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1 until rows.length).iterator
+          if rows(i).get(1) != rows(j).get(1)
+          szA = rows(i).getLong(3); szB = rows(j).getLong(3)
+          if math.min(szA, szB) >= threshold * math.max(szA, szB) - eps
+          minOv = math.ceil(threshold / (1.0 + threshold) * (szA + szB) - eps)
+          ub = 1.0 + math.min(szA - 1 - rows(i).getInt(2),
+                              szB - 1 - rows(j).getInt(2))
+          if ub >= minOv
+        } yield Row(rows(i).get(1), rows(j).get(1))
+      }(Encoders.row(outSchema))
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** Pairwise n-gram Jaccard similarity ≥ threshold.
-    * Inverted index over shingle → per-posting-list pair generation
-    * IN-KERNEL → common counts → |A∪B| by inclusion-exclusion. Emits
-    * (id_a < id_b, jaccard).
+  /** Pairwise n-gram Jaccard similarity ≥ threshold — FULL PPJoin
+    * (prefix + length + positional filtering, Xiao et al., WWW'08) with
+    * in-kernel array verification. Emits (id_a < id_b, jaccard); id_a/
+    * id_b keep the input id type (integral or string — anything else is
+    * rejected loudly, see [[idOrdering]]).
     *
-    * Pair generation runs inside one `groupByKey(shingle)` pass — each
-    * posting list emits its ordered pairs directly — instead of a
-    * two-sided self-join (which shuffles the shingle stream twice).
+    * Shape, every stage linear in the shingle stream or candidate count:
+    *   1. df-attach + cap: ONE inner join on `shingle` computes document
+    *      frequencies, drops stop-shingles (df > maxDf), and carries df
+    *      for the PPJoin token order — the cap's old anti-join exchange,
+    *      reused;
+    *   2. per-doc arrays ordered by (df asc, hash) ([[docArrays]]);
+    *   3. prefix explode: `slice(arr, 1, |S|−⌈t·|S|⌉+1)` — each doc
+    *      indexes only its RAREST shingles;
+    *   4. [[ppjoinCandidates]]: per-prefix-posting-list pair emission
+    *      with length + positional bounds;
+    *   5. [[verifyJaccardArrays]]: exact intersection in-kernel.
     *
-    * Measured dead end, recorded so it isn't retried: PPJoin-style
-    * prefix filtering (index only each doc's |S|−⌊t·|S|⌋+1 smallest-hash
-    * shingles, verify candidates exactly) ran 3× SLOWER here at sf10 —
-    * prefix candidates (any shared low-hash shingle, no similarity
-    * weighting) are far looser than direct common-counting on this
-    * corpus, and the candidate-restricted verify join explodes each
-    * loose pair by both full shingle lists. Prefix filtering only pays
-    * with the full PPJoin length+positional bounds on top; the direct
-    * common-count form needs neither.
+    * History (measured, recorded so it isn't relitigated): round 4's
+    * PREFIX-ONLY attempt with the old join-based verify ran 3× SLOWER
+    * than direct common-counting — loose candidates, each exploded by
+    * both full shingle lists in the verify join. The direct form then
+    * became the bottleneck at sf10 (exponent 0.72: its per-posting-list
+    * pair stream must be shuffled to count commons). Full PPJoin attacks
+    * the candidates (df-ordered prefixes + both bounds), the array
+    * verify attacks the explosion (no pair-occurrence shuffle at all).
     *
-    * `maxDf` caps shingle document frequency ([[capByDf]]): similarity is
-    * computed over the capped shingle universe, keeping per-posting-list
-    * fan-out bounded under adversarial skew (hot boilerplate). */
+    * `maxDf` caps shingle document frequency ([[capByDf]] semantics):
+    * similarity is computed over the capped shingle universe, keeping
+    * per-posting-list fan-out bounded under adversarial skew. */
   def ngramJaccard(df: DataFrame, id: String, text: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = DefaultMaxDf): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    val idType = df.schema(id).dataType
+    val shAll = shingles(df, id, text, n)
+      .select(col(id), shingleHash.as("shingle"))
+    val dfs = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val sh = shAll.join(dfs.filter(col("__df") <= maxDf), Seq("shingle"))
+    val docs = docArrays(sh, id, dfOrdered = true).cache()
+    val prefixed = docs.select(col(id).as("__id"), col("sz"),
+      posexplode(slice(col("arr"), lit(1), prefixLenCol(col("sz"), threshold)))
+        .as(Seq("pos", "shingle")))
+    val cand = ppjoinCandidates(prefixed, idType, threshold)
+    verifyJaccardArrays(docs, id, cand, threshold)
+  }
+
+  /** The round-5 DIRECT form of [[ngramJaccard]], kept as the parity
+    * witness for the PPJoin path (DedupSpec proves result equality on
+    * clustered corpora at several thresholds): inverted index → ALL
+    * co-occurring pairs via a two-sided self-join (the oracle's own
+    * shape, generic over id types) → common counts → inclusion-exclusion.
+    * Correct and fully distributed, but its pair-occurrence stream is
+    * super-linear on one box (sf10 exponent 0.72) — use [[ngramJaccard]]. */
+  private[dedup] def ngramJaccardDirect(df: DataFrame, id: String, text: String,
+                                        n: Int = 3, threshold: Double = 0.5,
+                                        maxDf: Int = DefaultMaxDf): DataFrame = {
     val sh = hashedShingles(df, id, text, n, maxDf)
-      .select(col(id).cast("long").as(id), col("shingle")).cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val common = sh.as[(Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray
-        java.util.Arrays.sort(ids)
-        for (i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator)
-          yield (ids(i), ids(j))
-      }
-      .toDF("id_a", "id_b")
+    val common = sh.select(col(id).as("id_a"), col("shingle"))
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
@@ -205,13 +337,15 @@ object Dedup {
   /** MinHash + LSH banded near-dup detection.
     * Bands of `rowsPerBand` signature slots; docs sharing any full band
     * signature become candidates; candidates are verified with exact
-    * shingle Jaccard ≥ threshold.
+    * shingle Jaccard ≥ threshold via [[verifyJaccardArrays]] — the
+    * in-kernel set intersection, so the verify stage moves only the
+    * candidate rows (the old join form's (pair, shared-shingle) stream
+    * was this operator's sf10 bottleneck, exponent 0.79).
     *
     * `maxDf` ([[capByDf]]) guards BOTH skew surfaces: the signature pass
     * (hot shingles would dominate every doc's minhash slots) and the
-    * verify stage's shingle self-join (whose posting lists are quadratic
-    * within a key). Signatures and Jaccard both see the capped universe,
-    * so candidates and verification stay consistent. */
+    * verify stage's per-doc arrays. Signatures and Jaccard both see the
+    * capped universe, so candidates and verification stay consistent. */
   def minhashLsh(df: DataFrame, id: String, text: String, n: Int = 3,
                  numHashes: Int = 12, rowsPerBand: Int = 3,
                  threshold: Double = 0.5,
@@ -235,8 +369,8 @@ object Dedup {
       .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with exact Jaccard
-    verifyJaccard(sh, id, cand, threshold)
+    // verify candidates with exact Jaccard, in-kernel
+    verifyJaccardArrays(docArrays(sh, id, dfOrdered = false), id, cand, threshold)
   }
 
   /** SimHash fingerprint over distinct tokens, `bits` ≤ 60.

@@ -158,6 +158,13 @@ object NativeAsOf {
     for (t <- Seq(lt, rt))
       require(t.dataType == LongType || t.dataType == TimestampType,
         s"as-of timestamp ${t.name} must be long-backed, got ${t.dataType}")
+    // Mixed LongType/TimestampType would compare raw int64 in DIFFERENT
+    // units (epoch micros vs whatever the long encodes) and silently
+    // mis-match — the union+window idiom can't even express that mix, so
+    // the node must reject it too.
+    require(lt.dataType == rt.dataType,
+      s"as-of timestamp types must match on both sides, got " +
+        s"${lt.name}: ${lt.dataType} vs ${rt.name}: ${rt.dataType}")
     val node = AsOfJoinNode(lPlan, rPlan,
       keys.map(attr(lPlan.output, _, "left")), keys.map(attr(rOut, _, "right")),
       lt, rt, payload.map(attr(rOut, _, "right")))

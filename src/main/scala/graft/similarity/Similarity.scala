@@ -88,12 +88,15 @@ object Similarity {
 
   /** Exact brute-force cosine top-k neighbors per vector — the default
     * entry point. Routes by build size, like Spark's join selection:
-    * at or below `maxBroadcastRows` (cheap metadata count on parquet
-    * sources) it takes the broadcast fast path; above it, the blocked
-    * grid, which never ships vectors to the driver. Both paths are
-    * bit-identical (same summation order, same tie-break), so routing
-    * can never change results. Deterministic: ties broken by neighbor
-    * id ascending. */
+    * at or below `maxBroadcastRows` it takes the broadcast fast path;
+    * above it, the blocked grid, which never ships vectors to the
+    * driver. The routing `count()` is a real (cheap) job — a columnless
+    * scan that Catalyst reduces to parquet row-group counts on a bare
+    * table, but a full computation on any non-trivial upstream plan;
+    * callers routing a derived DataFrame repeatedly should route once
+    * and pick a path explicitly. Both paths are bit-identical (same
+    * summation order, same tie-break), so routing can never change
+    * results. Deterministic: ties broken by neighbor id ascending. */
   def cosineTopK(df: DataFrame, id: String, vec: String, k: Int,
                  maxBroadcastRows: Long = 100000): DataFrame =
     if (df.count() <= maxBroadcastRows) cosineTopKBroadcast(df, id, vec, k)
@@ -449,19 +452,32 @@ object Similarity {
     *     grows instead of O((n/2^planes)²) blowing up;
     *   - `maxBucket` skips degenerate buckets (exact-duplicate clusters)
     *     entirely — quadratic-within-a-bucket insurance, like the dedup
-    *     family's shingle df cap.
+    *     family's shingle df cap. Skips are NOT silent (the repo's
+    *     "no silent caps" convention): every skipped bucket increments
+    *     the `graft.lsh.skippedBuckets` accumulator (visible in the UI;
+    *     pass `skippedBuckets` to read it programmatically after the
+    *     job, e.g. to alert on dropped coverage). Note the accumulator
+    *     lives in a transformation, so task retries can over-count —
+    *     it is a diagnostic, not an exact metric. Members of a skipped
+    *     bucket can still pair in their other `tables` buckets.
     *
     * Recall < 1 by construction: only pairs sharing a full signature in
     * ≥1 of the `tables` tables are compared. */
   def lshCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
                     planes: Int = 0, tables: Int = 8,
-                    maxBucket: Int = 256): DataFrame = {
+                    maxBucket: Int = 256,
+                    skippedBuckets: Option[org.apache.spark.util.LongAccumulator] =
+                      None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Adaptive width needs only the ROW COUNT — take it from the source
-    // relation (a metadata-only count on parquet) instead of counting a
-    // cached `vecs`: no vector decode for the probe, and no cached
-    // dataset left accumulating in executor storage across calls.
+    val skipAcc = skippedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.lsh.skippedBuckets"))
+    // Adaptive width needs only the ROW COUNT — count the SOURCE relation
+    // (on a bare parquet table Catalyst answers it from row-group
+    // metadata; on a derived plan it is a real columnless-scan job)
+    // instead of counting a cached `vecs`: no vector decode for the
+    // probe, and no cached dataset left accumulating in executor storage
+    // across calls.
     val vecs = toVecs(df, id, vec)
       .repartition(spark.sparkContext.defaultParallelism)
     val nPlanes =
@@ -488,7 +504,7 @@ object Similarity {
     val scored = buckets.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val vs = it.map(_._2).toArray
-        if (vs.length > maxBucket) Iterator.empty
+        if (vs.length > maxBucket) { skipAcc.add(1); Iterator.empty }
         else {
           java.util.Arrays.sort(vs, Ordering.by((v: Vec) => v.id))
           for (i <- vs.indices.iterator; j <- vs.indices.iterator if i != j)

@@ -48,8 +48,14 @@ object BenchCertificate {
   // ---- flat JSON persistence (sorted keys; diffable) ----
 
   def toJson(c: Certificate): String = {
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit "1,234" — invalid JSON that the
+    // comma-splitting parser below would then shred. Persisted artifacts
+    // must not depend on host locale.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = c.queries.toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     s"""{"created_ms":${c.createdMs},"valid_days":${c.validDays},""" +
       s""""tolerance_pct":${c.tolerancePct},"queries":$qs}"""
   }

@@ -125,6 +125,70 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("ppjoin parity with the direct witness at edge thresholds (0.9, 1.0)") {
+    // high thresholds shrink prefixes to 1-2 shingles — the regime where
+    // an off-by-one in prefix length or positional bound silently loses
+    // true pairs. Corpus has exact dups (j=1.0) and heavy-overlap pairs.
+    val rows = (0 until 40).map { i =>
+      val words = (0 until 10).map(w => s"w${(i / 4) + w}")
+      (i.toLong, words.mkString(" "))
+    }
+    val corpus = spark.createDataFrame(rows).toDF("doc_id", "text")
+    for (t <- Seq(0.9, 1.0)) {
+      val got = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.ngramJaccardDirect(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"ppjoin lost/invented pairs at t=$t")
+      assert(want.nonEmpty, s"degenerate reference set at t=$t")
+    }
+  }
+
+  test("ngram jaccard keeps string ids (no blind long cast) and matches the witness") {
+    val rows = Seq(
+      ("doc-a", "the quick brown fox jumps over the lazy dog"),
+      ("doc-b", "the quick brown fox jumps over the lazy cat"),
+      ("doc-c", "completely different words here nothing shared at all today"),
+      ("doc-d", "the quick brown fox jumps over the lazy dog"))
+    val corpus = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.4)
+    assert(out.schema("id_a").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Dedup.ngramJaccardDirect(corpus, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.contains(("doc-a", "doc-d")))
+  }
+
+  test("ngram jaccard rejects non-orderable id types loudly") {
+    val corpus = spark.createDataFrame(Seq((1.5, "a b c d e")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.5)
+    }
+    assert(e.getMessage.contains("integral or string"))
+  }
+
+  test("minhash LSH jaccard values agree with the exact pairwise witness") {
+    // every pair LSH surfaces must carry the same exact-jaccard value the
+    // direct inverted-index computation assigns it (the array verify is a
+    // physical rewrite, not a semantic one)
+    val rows = (0 until 40).map { i =>
+      val words = (0 until 12).map(w => s"w${(i / 4) * 2 + w}")
+      (i.toLong, words.mkString(" "))
+    }
+    val corpus = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val lsh = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 12, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccardDirect(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"pair $pair: lsh=$j exact=${exact.get(pair)}")
+    }
+  }
+
   test("df cap above the corpus size is a no-op (oracle-compat guarantee)") {
     val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4, maxDf = 10000)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),

@@ -56,6 +56,12 @@ class NativeAsOfSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       NativeAsOf.backward(bad, signals, Seq("sym"), "ts", "ts", Seq("sig")))
     assert(e.getMessage.contains("long-backed"))
+    // MIXED long/timestamp would compare micros against arbitrary-unit
+    // longs — rejected loudly too, never a silent wrong match
+    val longSide = ticks.withColumn("ts", col("ts").cast("long"))
+    val e2 = intercept[IllegalArgumentException](
+      NativeAsOf.backward(longSide, signals, Seq("sym"), "ts", "ts", Seq("sig")))
+    assert(e2.getMessage.contains("must match"))
   }
 
   test("plan shape: merge node, one exchange+sort per side, no union/window") {

@@ -90,6 +90,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(uncapped.count() === 1000L) // top-1 per vector, all cosine 1.0
   }
 
+  test("lsh bucket cap is not silent: skipped buckets are counted") {
+    import org.apache.spark.sql.functions._
+    val dups = spark.range(1000).select(col("id").as("vec_id"),
+      expr("array(1.0F, 0.5F, -0.25F, 0.125F)").as("embedding"))
+    val acc = spark.sparkContext.longAccumulator("test.lsh.skipped")
+    Similarity.lshCosineTopK(dups, "vec_id", "embedding", 1,
+      planes = 4, tables = 2, maxBucket = 256,
+      skippedBuckets = Some(acc)).count()
+    // one degenerate 1000-member bucket per table
+    assert(acc.value === 2L, s"expected 2 skipped buckets, saw ${acc.value}")
+    // and with no degenerate buckets the counter stays at zero
+    val acc2 = spark.sparkContext.longAccumulator("test.lsh.skipped2")
+    Similarity.lshCosineTopK(dups.limit(10), "vec_id", "embedding", 1,
+      planes = 4, tables = 2, maxBucket = 256,
+      skippedBuckets = Some(acc2)).count()
+    assert(acc2.value === 0L)
+  }
+
   test("ivfCosineTopKTrained: k-means refinement does not hurt recall") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 1)

@@ -33,6 +33,20 @@ class BenchCertificateSpec extends AnyFunSuite {
     assert(BenchCertificate.validate(cert, t0 + 90 * day, base).ok)
   }
 
+  test("certificate JSON is locale-independent (comma-decimal default locale)") {
+    // under a comma-decimal default locale the f-interpolator would emit
+    // "1,234" — invalid JSON that the comma-splitting parser then shreds
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val cert = BenchCertificate.create(t0, Map("q1" -> 1.234, "q2" -> 0.5), 90, 20.0)
+      val json = BenchCertificate.toJson(cert)
+      assert(json.contains("\"q1\":1.234"), json)
+      val back = BenchCertificate.fromJson(json)
+      assert(back.queries === Map("q1" -> 1.234, "q2" -> 0.5))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("certificate round-trips through its flat JSON file form") {
     val cert = BenchCertificate.create(t0, base, 90, 15.0)
     val f = java.nio.file.Files.createTempFile("graft_cert", ".json")
