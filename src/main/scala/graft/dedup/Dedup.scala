@@ -2,8 +2,9 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
-  ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType,
+  LongType, ShortType, StringType, StructField, StructType}
+import graft.functions.SortedCommonCount.sortedCommonCount
 
 /** Document deduplication for large-scale training-data pipelines:
   * exact, n-gram Jaccard, MinHash+LSH, and SimHash.
@@ -135,19 +136,83 @@ object Dedup {
         "(ids are ordered in-kernel and keep their type in id_a/id_b)")
   }
 
-  /** Per-doc shingle arrays + set size from a (id, shingle[, __df]) table.
-    * With `dfOrdered` the array is sorted by (document frequency asc,
-    * hash) — the canonical PPJoin token order (rarest first), so a
-    * prefix `slice` of the array indexes each doc's RAREST shingles and
-    * prefix posting lists stay short. Input must then carry `__df`. */
-  private def docArrays(sh: DataFrame, id: String,
-                        dfOrdered: Boolean): DataFrame = {
-    val arr =
-      if (dfOrdered)
-        transform(array_sort(collect_list(struct(col("__df"), col("shingle")))),
-          s => s.getField("shingle"))
-      else collect_list(col("shingle"))
-    sh.groupBy(col(id)).agg(arr.as("arr"), count(lit(1)).as("sz"))
+  /** One-shuffle capped posting-list builder: groups the (id, shingle)
+    * stream by shingle, drops lists longer than `maxDf` (the [[capByDf]]
+    * stop-shingle semantics) and emits every surviving row with its
+    * list length attached as `__df`. Replaces the df-aggregate + join
+    * form, which computed the shingle stream TWICE (once per join side)
+    * and paid two extra exchanges for the same information. Memory is
+    * bounded under adversarial skew: a hot posting list stops buffering
+    * at maxDf+1 entries and is skipped without ever materializing. */
+  private[dedup] def cappedPostings(sh: DataFrame, id: String, idType: DataType,
+                             maxDf: Int): DataFrame = {
+    val outSchema = StructType(Seq(StructField(id, idType),
+      StructField("shingle", LongType), StructField("__df", LongType)))
+    sh.select(col("shingle"), col(id))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (shingle: Long, it: Iterator[Row]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Any](16)
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          buf += it.next().get(1)
+          if (buf.length > maxDf) overflow = true
+        }
+        if (overflow) Iterator.empty
+        else {
+          val df = buf.length.toLong
+          buf.iterator.map(idv => Row(idv, shingle, df))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Per-doc arrays for the PPJoin pipeline, built in one grouped pass
+    * over the capped postings plus a JVM map:
+    *
+    *   - `arr` — shingle hashes sorted by VALUE: the
+    *     [[graft.functions.SortedCommonCount]] contract for the verify
+    *     stage's two-pointer intersection;
+    *   - `pre` — the PPJoin prefix: the first |S|−⌈t·|S|⌉+1 shingles in
+    *     (global df asc, hash) order, i.e. the doc's RAREST shingles,
+    *     so prefix posting lists stay short;
+    *   - `sz` — capped distinct-shingle count.
+    *
+    * Both sorts run per doc in the JVM on primitive arrays — the earlier
+    * Catalyst `array_sort(collect_list(struct(...)))` form paid an
+    * interpreted struct comparator per element across the whole stream. */
+  private[dedup] def ppjoinDocs(postings: DataFrame, id: String, idType: DataType,
+                         threshold: Double): DataFrame = {
+    val grouped = postings.groupBy(col(id))
+      .agg(collect_list(struct(col("__df"), col("shingle"))).as("__parr"),
+        count(lit(1)).as("sz"))
+    val outSchema = StructType(Seq(StructField(id, idType),
+      StructField("arr", ArrayType(LongType, containsNull = false)),
+      StructField("pre", ArrayType(LongType, containsNull = false)),
+      StructField("sz", LongType)))
+    grouped.map { r =>
+      val parr = r.getSeq[Row](1)
+      val n = parr.length
+      val dfs = new Array[Long](n); val hs = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        val s = parr(k); dfs(k) = s.getLong(0); hs(k) = s.getLong(1); k += 1
+      }
+      val idx: Array[Integer] = Array.tabulate(n)(Integer.valueOf(_))
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        override def compare(x: Integer, y: Integer): Int = {
+          val c = java.lang.Long.compare(dfs(x), dfs(y))
+          if (c != 0) c else java.lang.Long.compare(hs(x), hs(y))
+        }
+      })
+      val p = math.max(1, math.min(n,
+        n - math.ceil(threshold * n - 1e-9).toInt + 1))
+      val pre = new Array[Long](p)
+      k = 0
+      while (k < p) { pre(k) = hs(idx(k)); k += 1 }
+      val arr = hs.clone()
+      java.util.Arrays.sort(arr)
+      Row(r.get(0), arr, pre, n.toLong)
+    }(Encoders.row(outSchema))
+      .toDF()
   }
 
   /** Exact-Jaccard verification of candidate (id_a < id_b) pairs against
@@ -159,32 +224,36 @@ object Dedup {
     * This was the last measured super-linear stage in the dedup family
     * (sf10 exponents 0.72/0.79): the pair-occurrence stream is gone.
     *
+    * Physical shape, tuned from the sf10 stage probe:
+    *   - `sorted_common_count` (native codegen two-pointer merge over the
+    *     value-sorted arrays) instead of `size(array_intersect(...))`,
+    *     whose hash set boxes every element — the probe's single biggest
+    *     cost;
+    *   - SHUFFLE_HASH hints on the docs side: a sort-merge join would
+    *     sort the fat array payloads (and spill them) on every join; the
+    *     hash join builds a per-partition map over the linear-size docs
+    *     table and streams the candidates through.
+    *
     * 2⁻⁶⁰-probability caveat, mirrored nowhere: two DIFFERENT shingles of
-    * the SAME doc colliding to one 60-bit hash would make
-    * `array_intersect` (set semantics) count 1 where the old join form
-    * counted the multiplicity product. At ~10³ shingles/doc the per-doc
-    * probability is ~10⁻¹², and the DuckDB oracle's join form would
-    * diverge identically from the true string-shingle Jaccard. */
-  private def verifyJaccardArrays(docs: DataFrame, id: String,
+    * the SAME doc colliding to one 60-bit hash would make the set
+    * intersection count 1 where the old join form counted the
+    * multiplicity product. At ~10³ shingles/doc the per-doc probability
+    * is ~10⁻¹², and the DuckDB oracle's join form would diverge
+    * identically from the true string-shingle Jaccard. */
+  private[dedup] def verifyJaccardArrays(docs: DataFrame, id: String,
                                   cand: DataFrame,
                                   threshold: Double): DataFrame =
     cand
       .join(docs.select(col(id).as("id_a"), col("arr").as("__arr_a"),
-        col("sz").as("sz_a")), Seq("id_a"))
+        col("sz").as("sz_a")).hint("shuffle_hash"), Seq("id_a"))
       .join(docs.select(col(id).as("id_b"), col("arr").as("__arr_b"),
-        col("sz").as("sz_b")), Seq("id_b"))
+        col("sz").as("sz_b")).hint("shuffle_hash"), Seq("id_b"))
       .withColumn("common",
-        size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+        sortedCommonCount(col("__arr_a"), col("__arr_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-
-  /** PPJoin prefix length for set size `sz` at Jaccard `t`:
-    * |S| − ⌈t·|S|⌉ + 1 (ε-slack keeps FP rounding from over-pruning —
-    * looseness only admits extra candidates; the verify stage is exact). */
-  private def prefixLenCol(sz: Column, t: Double): Column =
-    greatest(lit(1L), sz - ceil(sz * t - 1e-9) + 1L).cast("int")
 
   /** PPJoin candidate generation over exploded prefixes
     * (shingle, __id, pos, sz): one `groupByKey(shingle)` pass emits the
@@ -201,9 +270,52 @@ object Dedup {
     *     no true pair is lost.
     *
     * All bounds carry ε-slack: FP rounding may only loosen them, never
-    * tighten — extra candidates are killed by the exact verify. */
-  private def ppjoinCandidates(prefixed: DataFrame, idType: DataType,
-                               threshold: Double): DataFrame = {
+    * tighten — extra candidates are killed by the exact verify.
+    *
+    * Long ids (the common case) take a fully PRIMITIVE tuple-encoder
+    * path — the generic Row path boxes every field access, measured as
+    * a real fraction of the candidate stage at sf10. Both paths emit
+    * identical pairs. */
+  private[dedup] def ppjoinCandidates(prefixed: DataFrame, idType: DataType,
+                               threshold: Double): DataFrame = idType match {
+    case LongType => ppjoinCandidatesLong(prefixed, threshold)
+    case _ => ppjoinCandidatesGeneric(prefixed, idType, threshold)
+  }
+
+  private def ppjoinCandidatesLong(prefixed: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val spark = prefixed.sparkSession
+    import spark.implicits._
+    val eps = 1e-9
+    prefixed
+      .select(col("shingle"), col("__id"), col("pos"), col("sz"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows,
+          new java.util.Comparator[(Long, Long, Int, Long)] {
+            override def compare(x: (Long, Long, Int, Long),
+                                 y: (Long, Long, Int, Long)): Int =
+              java.lang.Long.compare(x._2, y._2)
+          })
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1 until rows.length).iterator
+          if rows(i)._2 != rows(j)._2
+          szA = rows(i)._4; szB = rows(j)._4
+          if math.min(szA, szB) >= threshold * math.max(szA, szB) - eps
+          minOv = math.ceil(threshold / (1.0 + threshold) * (szA + szB) - eps)
+          ub = 1.0 + math.min(szA - 1 - rows(i)._3, szB - 1 - rows(j)._3)
+          if ub >= minOv
+        } yield (rows(i)._2, rows(j)._2)
+      }
+      .toDF("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  private def ppjoinCandidatesGeneric(prefixed: DataFrame, idType: DataType,
+                                      threshold: Double): DataFrame = {
     val ord = idOrdering(idType)
     val outSchema = StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType)))
@@ -238,17 +350,20 @@ object Dedup {
     * id_b keep the input id type (integral or string — anything else is
     * rejected loudly, see [[idOrdering]]).
     *
-    * Shape, every stage linear in the shingle stream or candidate count:
-    *   1. df-attach + cap: ONE inner join on `shingle` computes document
-    *      frequencies, drops stop-shingles (df > maxDf), and carries df
-    *      for the PPJoin token order — the cap's old anti-join exchange,
-    *      reused;
-    *   2. per-doc arrays ordered by (df asc, hash) ([[docArrays]]);
-    *   3. prefix explode: `slice(arr, 1, |S|−⌈t·|S|⌉+1)` — each doc
-    *      indexes only its RAREST shingles;
+    * Shape — TWO full-stream shuffles, everything else linear in the
+    * prefix stream or candidate count:
+    *   1. [[cappedPostings]]: one `groupByKey(shingle)` pass computes
+    *      document frequencies, applies the stop-shingle cap, and emits
+    *      df-attached postings (the old df-aggregate + join form
+    *      computed the shingle stream twice);
+    *   2. [[ppjoinDocs]]: one `groupBy(id)` pass builds each doc's
+    *      value-sorted array (verify contract) and its (df asc, hash)
+    *      PPJoin prefix;
+    *   3. prefix explode — each doc indexes only its RAREST shingles;
     *   4. [[ppjoinCandidates]]: per-prefix-posting-list pair emission
     *      with length + positional bounds;
-    *   5. [[verifyJaccardArrays]]: exact intersection in-kernel.
+    *   5. [[verifyJaccardArrays]]: native sorted-merge intersection,
+    *      hash-joined — no pair-occurrence shuffle, no array sorts.
     *
     * History (measured, recorded so it isn't relitigated): round 4's
     * PREFIX-ONLY attempt with the old join-based verify ran 3× SLOWER
@@ -266,16 +381,16 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = DefaultMaxDf): DataFrame = {
     val idType = df.schema(id).dataType
+    idOrdering(idType) // loud type validation up-front, both kernel paths
     val shAll = shingles(df, id, text, n)
       .select(col(id), shingleHash.as("shingle"))
-    val dfs = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    val sh = shAll.join(dfs.filter(col("__df") <= maxDf), Seq("shingle"))
-    val docs = docArrays(sh, id, dfOrdered = true).cache()
+    val postings = cappedPostings(shAll, id, idType, maxDf)
+    val docs = ppjoinDocs(postings, id, idType, threshold).cache()
     val prefixed = docs.select(col(id).as("__id"), col("sz"),
-      posexplode(slice(col("arr"), lit(1), prefixLenCol(col("sz"), threshold)))
-        .as(Seq("pos", "shingle")))
+      posexplode(col("pre")).as(Seq("pos", "shingle")))
     val cand = ppjoinCandidates(prefixed, idType, threshold)
-    verifyJaccardArrays(docs, id, cand, threshold)
+    verifyJaccardArrays(docs.select(col(id), col("arr"), col("sz")),
+      id, cand, threshold)
   }
 
   /** The round-5 DIRECT form of [[ngramJaccard]], kept as the parity
@@ -342,16 +457,32 @@ object Dedup {
     * candidate rows (the old join form's (pair, shared-shingle) stream
     * was this operator's sf10 bottleneck, exponent 0.79).
     *
-    * `maxDf` ([[capByDf]]) guards BOTH skew surfaces: the signature pass
-    * (hot shingles would dominate every doc's minhash slots) and the
-    * verify stage's per-doc arrays. Signatures and Jaccard both see the
-    * capped universe, so candidates and verification stay consistent. */
+    * TWO full-stream shuffles total: [[cappedPostings]] (df cap), then
+    * ONE `groupBy(id)` computing minhash slots AND the verify stage's
+    * value-sorted shingle array AND the set size together. The round-5
+    * form paid four (df agg, cap anti-join, signature agg, array agg) —
+    * signatures and arrays want exactly the same exchange, so they
+    * share it.
+    *
+    * `maxDf` guards BOTH skew surfaces: the signature pass (hot shingles
+    * would dominate every doc's minhash slots) and the verify stage's
+    * per-doc arrays. Signatures and Jaccard both see the capped
+    * universe, so candidates and verification stay consistent. */
   def minhashLsh(df: DataFrame, id: String, text: String, n: Int = 3,
                  numHashes: Int = 12, rowsPerBand: Int = 3,
                  threshold: Double = 0.5,
                  maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sh = hashedShingles(df, id, text, n, maxDf).cache()
-    val mh = minhash(sh, id, numHashes)
+    val idType = df.schema(id).dataType
+    val shAll = shingles(df, id, text, n)
+      .select(col(id), shingleHash.as("shingle"))
+    val postings = cappedPostings(shAll, id, idType, maxDf)
+    val mhAggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), s) =>
+      min((col("__h") * a + b) % MinhashP).as(s"mh_$s")
+    } ++ Seq(array_sort(collect_list(col("shingle"))).as("arr"),
+      count(lit(1)).as("sz"))
+    val mh = postings.withColumn("__h", col("shingle") % MinhashP)
+      .groupBy(col(id)).agg(mhAggs.head, mhAggs.tail: _*)
+      .cache()
     val nBands = numHashes / rowsPerBand
     // band signature = the band's minhash slots joined in seed order;
     // stack() melts the wide row into (band, sig) rows for the bucket join.
@@ -369,8 +500,10 @@ object Dedup {
       .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with exact Jaccard, in-kernel
-    verifyJaccardArrays(docArrays(sh, id, dfOrdered = false), id, cand, threshold)
+    // verify candidates with exact Jaccard, in-kernel, against the
+    // arrays that rode the signature exchange
+    verifyJaccardArrays(mh.select(col(id), col("arr"), col("sz")),
+      id, cand, threshold)
   }
 
   /** SimHash fingerprint over distinct tokens, `bits` ≤ 60.

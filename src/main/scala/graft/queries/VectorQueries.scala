@@ -85,8 +85,11 @@ object VectorQueries extends QueryPack {
       "Blocked exact kNN: grid-partitioned block nested-loop, no broadcast"),
 
     // Embedding-cosine near-dup detection: all pairs clearing the
-    // 6-dp-rounded cosine threshold, via the blocked exact grid (no
-    // collect/broadcast) — the embedding analogue of q27's Jaccard dedup.
+    // 6-dp-rounded cosine threshold — the embedding analogue of q27's
+    // Jaccard dedup. Size-ROUTED like q33: at oracle scale (<= 32k rows)
+    // the blocked exact grid runs and the all-pairs oracle is exact; at
+    // ladder scale the LSH-candidate route takes over (recall < 1 by
+    // contract, emitted cosines still bit-exact — see the routed spec).
     "q70_embedding_neardup" -> QueryDef(
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.4)

@@ -167,16 +167,40 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: every (id_a < id_b) pair whose
-    * cosine, rounded to 6 dp, clears `threshold` — the embedding analogue
-    * of the n-gram Jaccard near-dup detector. Same fully-distributed
-    * block nested-loop grid as [[cosineTopKBlocked]] (no collect, no
+  /** Embedding-cosine near-duplicate pairs — a size ROUTER like
+    * [[cosineTopK]]: at or below `maxExactRows` input rows, the exact
+    * all-pairs blocked grid ([[cosineNearDupPairsExact]] — O(n²) by the
+    * nature of the question); above it, LSH-bucketed candidate
+    * generation with exact in-kernel cosine verification
+    * ([[cosineNearDupPairsLsh]] — the 100 TB shape).
+    *
+    * UNLIKE cosineTopK's two bit-identical paths, the scale route is
+    * approximate: a true pair that shares no bucket in any of the
+    * `tables` tables is missed (recall < 1 by construction — fine for
+    * near-dup thresholds close to 1, where sign bits almost all agree;
+    * poor for loose thresholds). Every pair it DOES emit carries the
+    * same bit-exact cosine as the exact grid, so whenever recall is 1
+    * the two routes return identical results (spec-proven on planted
+    * near-dup clusters). The routing `count()` is a real (cheap) job on
+    * non-trivial plans — route once, not per call, in hot loops. */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+                         threshold: Double, probeBlocks: Int = 8,
+                         buildBlocks: Int = 8, maxExactRows: Long = 32768,
+                         tables: Int = 8, planes: Int = 0): DataFrame =
+    if (df.count() <= maxExactRows)
+      cosineNearDupPairsExact(df, id, vec, threshold, probeBlocks, buildBlocks)
+    else cosineNearDupPairsLsh(df, id, vec, threshold, planes, tables)
+
+  /** Exact all-pairs near-dup: every (id_a < id_b) pair whose cosine,
+    * rounded to 6 dp, clears `threshold` — the embedding analogue of the
+    * n-gram Jaccard near-dup detector. Same fully-distributed block
+    * nested-loop grid as [[cosineTopKBlocked]] (no collect, no
     * broadcast): pairs are scored once (the a.id < b.id half of the grid),
     * shuffle volume stays linear in the replication factors. Thresholding
     * on the ROUNDED value keeps the cut deterministic across engines. */
-  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
-                         threshold: Double, probeBlocks: Int = 8,
-                         buildBlocks: Int = 8): DataFrame = {
+  def cosineNearDupPairsExact(df: DataFrame, id: String, vec: String,
+                              threshold: Double, probeBlocks: Int = 8,
+                              buildBlocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = toVecs(df, id, vec)
@@ -208,6 +232,59 @@ object Similarity {
             }
         }
       }
+      .toDF("id_a", "id_b", "cosine")
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** LSH-routed near-dup pairs — [[cosineNearDupPairs]]' scale path:
+    * multi-table random-hyperplane bucketing (the [[lshCosineTopK]]
+    * machinery — vectors ride into buckets, candidates score IN-KERNEL,
+    * no join-back), then the SAME exact rounded-cosine cut as the exact
+    * grid. A pair appearing in several buckets collapses in the
+    * `distinct` (deterministic cosine kernel ⇒ bit-identical duplicates).
+    *
+    * No `maxBucket` cap here, deliberately: an exact-duplicate cluster
+    * of size m IS m(m−1)/2 true near-dup pairs — the output itself is
+    * quadratic in cluster size, so skipping the bucket would drop true
+    * answers to save work that the answer requires. Posting the full
+    * cluster is the contract; feed pathological corpora through exact
+    * dedup first if that is unacceptable. */
+  def cosineNearDupPairsLsh(df: DataFrame, id: String, vec: String,
+                            threshold: Double, planes: Int = 0,
+                            tables: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(df, id, vec)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(4, math.ceil(
+        math.log(df.count() / 32.0) / math.log(2.0)).toInt)
+    val nTables = tables
+    val buckets = vecs.mapPartitions { it =>
+      var mat: Array[Array[Double]] = null
+      it.flatMap { a =>
+        if (mat == null || mat(0).length < a.v.length)
+          mat = planeMatrix(nTables * nPlanes, a.v.length)
+        (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a))
+      }
+    }
+    val pre = threshold - 5e-7 // cheap double prefilter before the exact
+    buckets.groupByKey(_._1)   // BigDecimal rounding that defines the cut
+      .flatMapGroups { (_, it) =>
+        val vs = it.map(_._2).toArray
+        java.util.Arrays.sort(vs, Ordering.by((v: Vec) => v.id))
+        for {
+          i <- vs.indices.iterator
+          j <- (i + 1 until vs.length).iterator
+          if vs(i).id != vs(j).id
+          c = cosine(vs(i), vs(j))
+          if c >= pre &&
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble >= threshold
+        } yield (vs(i).id, vs(j).id, c)
+      }
+      .distinct()
       .toDF("id_a", "id_b", "cosine")
       .withColumn("cosine", round(col("cosine"), 6))
   }

@@ -108,6 +108,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(acc2.value === 0L)
   }
 
+  test("near-dup router: LSH route equals the exact grid when recall is 1") {
+    import org.apache.spark.sql.functions._
+    // 90 planted clusters of 3 identical-direction vectors (they share
+    // every bucket in every table -> recall 1 on all true pairs) among
+    // deterministic pseudo-random fillers whose pairwise cosines sit far
+    // below the 0.999 cut
+    val rows = (0L until 450L).map { i =>
+      val cluster = i / 5
+      if (i % 5 < 3) { // 3 cluster members, identical direction
+        val base = (0 until 16).map(d =>
+          (math.sin(cluster * 16 + d + 1) * 10).toFloat)
+        (i, base)
+      } else {
+        val v = (0 until 16).map(d =>
+          (math.sin(i * 37.0 + d * 11.0) * 5).toFloat)
+        (i, v)
+      }
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairsExact(df, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.999,
+      maxExactRows = 100) // 450 rows > 100 -> forces the LSH route
+    val lsh = routed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "degenerate: no planted pairs survived the cut")
+    assert(lsh === exact, "LSH route diverged from the exact grid")
+    // and the default route threshold keeps small inputs on the exact grid
+    val small = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(small === exact)
+  }
+
   test("ivfCosineTopKTrained: k-means refinement does not hurt recall") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 1)
