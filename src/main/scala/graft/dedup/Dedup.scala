@@ -136,83 +136,161 @@ object Dedup {
         "(ids are ordered in-kernel and keep their type in id_a/id_b)")
   }
 
-  /** One-shuffle capped posting-list builder: groups the (id, shingle)
-    * stream by shingle, drops lists longer than `maxDf` (the [[capByDf]]
-    * stop-shingle semantics) and emits every surviving row with its
-    * list length attached as `__df`. Replaces the df-aggregate + join
-    * form, which computed the shingle stream TWICE (once per join side)
-    * and paid two extra exchanges for the same information. Memory is
-    * bounded under adversarial skew: a hot posting list stops buffering
-    * at maxDf+1 entries and is skipped without ever materializing. */
-  private[dedup] def cappedPostings(sh: DataFrame, id: String, idType: DataType,
-                             maxDf: Int): DataFrame = {
+  /** Per-doc sorted-distinct 60-bit shingle-hash arrays — (id, arr) in
+    * ONE per-partition pass with ZERO shuffles. The whole Catalyst
+    * shingle stream is gone: no per-shingle row materialization, no
+    * interpreted `transform` lambda, no md5→hex→conv string round-trip,
+    * and above all no `distinct()` exchange of 10⁸ string rows — the
+    * within-doc dedup is a primitive sort + squash on the hash array,
+    * computed where the document already is.
+    *
+    * Hash parity with [[shingleHash]] (and thus the DuckDB oracle) is
+    * BYTE-level: `MessageDigest("MD5")` over the UTF-8 shingle equals
+    * Spark's `md5()`, and the first 15 hex chars are exactly the top 60
+    * bits of the digest (7 bytes + the high nibble of byte 7). The
+    * 2⁻⁶⁰ within-doc caveat moves one step earlier: two distinct shingle
+    * STRINGS colliding to one hash dedup here where the string-distinct
+    * form kept both rows — same odds (~10⁻¹² per doc), same direction as
+    * the verify-stage caveat documented on [[verifyJaccardArrays]].
+    *
+    * Token semantics mirror `split(text, " ")` + windowed `concat_ws`:
+    * limit −1 keeps trailing empties, docs with < n tokens (or null
+    * text) emit nothing — ABSENT, exactly like the exploded form. */
+  private[dedup] def docShingleArrays(df: DataFrame, id: String, text: String,
+                                      n: Int): DataFrame = {
+    val idType = df.schema(id).dataType
     val outSchema = StructType(Seq(StructField(id, idType),
-      StructField("shingle", LongType), StructField("__df", LongType)))
-    sh.select(col("shingle"), col(id))
-      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
-      .flatMapGroups { (shingle: Long, it: Iterator[Row]) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[Any](16)
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          buf += it.next().get(1)
-          if (buf.length > maxDf) overflow = true
-        }
-        if (overflow) Iterator.empty
+      StructField("arr", ArrayType(LongType, containsNull = false))))
+    df.select(col(id), col(text)).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
         else {
-          val df = buf.length.toLong
-          buf.iterator.map(idv => Row(idv, shingle, df))
+          val toks = r.getString(1).split(" ", -1)
+          val m = toks.length - n + 1
+          if (m <= 0) Iterator.empty
+          else {
+            val hs = new Array[Long](m)
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < m) {
+              sb.setLength(0)
+              var k = 0
+              while (k < n) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(i + k)); k += 1
+              }
+              val d = md.digest(sb.toString.getBytes(utf8))
+              var v = 0L; var b = 0
+              while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+              hs(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+              i += 1
+            }
+            java.util.Arrays.sort(hs)
+            var w = 0; var j = 1
+            while (j < m) { if (hs(j) != hs(w)) { w += 1; hs(w) = hs(j) }; j += 1 }
+            Iterator.single(Row(r.get(0), java.util.Arrays.copyOf(hs, w + 1)))
+          }
         }
-      }(Encoders.row(outSchema))
+      }
+    }(Encoders.row(outSchema))
   }
 
-  /** Per-doc arrays for the PPJoin pipeline, built in one grouped pass
-    * over the capped postings plus a JVM map:
+  /** Document frequencies ABOVE `bound`, computed with one map-side-
+    * combined `groupBy(shingle).count()` over the exploded arrays and
+    * collected to the driver as (sorted hot array, sorted stop array).
     *
-    *   - `arr` — shingle hashes sorted by VALUE: the
-    *     [[graft.functions.SortedCommonCount]] contract for the verify
-    *     stage's two-pointer intersection;
-    *   - `pre` — the PPJoin prefix: the first |S|−⌈t·|S|⌉+1 shingles in
-    *     (global df asc, hash) order, i.e. the doc's RAREST shingles,
-    *     so prefix posting lists stay short;
-    *   - `sz` — capped distinct-shingle count.
+    * Driver-state bound, the reason this collect is scale-honest: at
+    * most streamSize / bound shingles can exceed df = bound (pigeonhole),
+    * so the collected set is ≤ |stream| / min(bound, maxDf) entries
+    * REGARDLESS of corpus size — at 100 TB one raises `bound` with the
+    * corpus (it only trades candidate-stage pruning quality), keeping
+    * the broadcast a few MB. The partial-agg shuffle moves one (hash,
+    * count) pair per distinct shingle per partition — not the stream. */
+  private[dedup] def hotAndStop(arrs: DataFrame, bound: Int,
+                                maxDf: Int): (Array[Long], Array[Long]) = {
+    val b = math.min(bound, maxDf)
+    val rows = arrs.select(explode(col("arr")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > b)
+      .select(col("shingle"), col("__df"))
+      .collect()
+    val hot = rows.map(_.getLong(0)).sorted
+    val stop = rows.filter(_.getLong(1) > maxDf).map(_.getLong(0)).sorted
+    (hot, stop)
+  }
+
+  /** PPJoin doc-side build over [[docShingleArrays]] output — a pure MAP
+    * (no shuffle): removes stop-shingles (binary search against the
+    * broadcast-small stop set), and emits
     *
-    * Both sorts run per doc in the JVM on primitive arrays — the earlier
-    * Catalyst `array_sort(collect_list(struct(...)))` form paid an
-    * interpreted struct comparator per element across the whole stream. */
-  private[dedup] def ppjoinDocs(postings: DataFrame, id: String, idType: DataType,
-                         threshold: Double): DataFrame = {
-    val grouped = postings.groupBy(col(id))
-      .agg(collect_list(struct(col("__df"), col("shingle"))).as("__parr"),
-        count(lit(1)).as("sz"))
+    *   - `arr` — value-sorted capped shingle set (the
+    *     [[graft.functions.SortedCommonCount]] verify contract);
+    *   - `pre` — the first |S|−⌈t·|S|⌉+1 shingles in (hot?, hash) order:
+    *     COLD shingles (global df ≤ prefix bound) in hash order first,
+    *     hot ones only when a doc has fewer than p cold shingles;
+    *   - `sz` — capped size.
+    *
+    * The (hot, hash) order is a valid PPJoin global total order (hotness
+    * is a global per-shingle property), so candidate completeness holds;
+    * vs the exact (df asc, hash) order it trades some pruning sharpness
+    * for NOT needing a df-attach join + per-doc regroup of the full
+    * stream — two exchanges the round-5 shape paid. Cold prefix posting
+    * lists stay ≤ the hot bound by construction. */
+  private[dedup] def ppjoinDocsKernel(arrs: DataFrame, id: String,
+                                      threshold: Double, hot: Array[Long],
+                                      stop: Array[Long]): DataFrame = {
+    val idType = arrs.schema(id).dataType
     val outSchema = StructType(Seq(StructField(id, idType),
       StructField("arr", ArrayType(LongType, containsNull = false)),
       StructField("pre", ArrayType(LongType, containsNull = false)),
       StructField("sz", LongType)))
-    grouped.map { r =>
-      val parr = r.getSeq[Row](1)
-      val n = parr.length
-      val dfs = new Array[Long](n); val hs = new Array[Long](n)
-      var k = 0
-      while (k < n) {
-        val s = parr(k); dfs(k) = s.getLong(0); hs(k) = s.getLong(1); k += 1
-      }
-      val idx: Array[Integer] = Array.tabulate(n)(Integer.valueOf(_))
-      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
-        override def compare(x: Integer, y: Integer): Int = {
-          val c = java.lang.Long.compare(dfs(x), dfs(y))
-          if (c != 0) c else java.lang.Long.compare(hs(x), hs(y))
+    val spark = arrs.sparkSession
+    val hotBc = spark.sparkContext.broadcast(hot)
+    val stopBc = spark.sparkContext.broadcast(stop)
+    arrs.mapPartitions { rows =>
+      val hotA = hotBc.value; val stopA = stopBc.value
+      rows.flatMap { r =>
+        val raw = r.getSeq[Long](1)
+        val n0 = raw.length
+        val arr = new Array[Long](n0)
+        var n = 0; var i = 0
+        while (i < n0) {
+          val v = raw(i)
+          if (stopA.length == 0 || java.util.Arrays.binarySearch(stopA, v) < 0) {
+            arr(n) = v; n += 1
+          }
+          i += 1
         }
-      })
-      val p = math.max(1, math.min(n,
-        n - math.ceil(threshold * n - 1e-9).toInt + 1))
-      val pre = new Array[Long](p)
-      k = 0
-      while (k < p) { pre(k) = hs(idx(k)); k += 1 }
-      val arr = hs.clone()
-      java.util.Arrays.sort(arr)
-      Row(r.get(0), arr, pre, n.toLong)
+        if (n == 0) Iterator.empty
+        else {
+          val capped = java.util.Arrays.copyOf(arr, n)
+          val p = math.max(1, math.min(n,
+            n - math.ceil(threshold * n - 1e-9).toInt + 1))
+          val pre = new Array[Long](p)
+          var k = 0; var w = 0
+          while (k < n && w < p) { // cold shingles, ascending hash
+            if (hotA.length == 0 ||
+                java.util.Arrays.binarySearch(hotA, capped(k)) < 0) {
+              pre(w) = capped(k); w += 1
+            }
+            k += 1
+          }
+          k = 0
+          while (w < p && k < n) { // fewer than p cold: pad with hot, hash asc
+            if (hotA.length > 0 &&
+                java.util.Arrays.binarySearch(hotA, capped(k)) >= 0) {
+              pre(w) = capped(k); w += 1
+            }
+            k += 1
+          }
+          // cold + hot = n >= p, so w == p here; guard stays defensive
+          val preOut = if (w == p) pre else java.util.Arrays.copyOf(pre, w)
+          Iterator.single(Row(r.get(0), capped, preOut, n.toLong))
+        }
+      }
     }(Encoders.row(outSchema))
-      .toDF()
   }
 
   /** Exact-Jaccard verification of candidate (id_a < id_b) pairs against
@@ -350,17 +428,17 @@ object Dedup {
     * id_b keep the input id type (integral or string — anything else is
     * rejected loudly, see [[idOrdering]]).
     *
-    * Shape — TWO full-stream shuffles, everything else linear in the
-    * prefix stream or candidate count:
-    *   1. [[cappedPostings]]: one `groupByKey(shingle)` pass computes
-    *      document frequencies, applies the stop-shingle cap, and emits
-    *      df-attached postings (the old df-aggregate + join form
-    *      computed the shingle stream twice);
-    *   2. [[ppjoinDocs]]: one `groupBy(id)` pass builds each doc's
-    *      value-sorted array (verify contract) and its (df asc, hash)
-    *      PPJoin prefix;
-    *   3. prefix explode — each doc indexes only its RAREST shingles;
-    *   4. [[ppjoinCandidates]]: per-prefix-posting-list pair emission
+    * Shape — ZERO full-stream row shuffles; the only exchanges are the
+    * map-side-combined df count, the prefix stream, and the verify joins:
+    *   1. [[docShingleArrays]]: per-doc sorted-distinct hash arrays,
+    *      built where the documents are (no shuffle, cached once);
+    *   2. [[hotAndStop]]: one partial-agg count over the exploded arrays
+    *      → broadcast-small hot/stop sets (driver state ≤ |stream|/bound
+    *      by pigeonhole — see its scaladoc for the 100 TB story);
+    *   3. [[ppjoinDocsKernel]]: pure map attaching each doc's capped
+    *      array and its (hot?, hash)-ordered prefix;
+    *   4. prefix explode (~(1−t) of the capped stream) →
+    *      [[ppjoinCandidates]]: per-prefix-posting-list pair emission
     *      with length + positional bounds;
     *   5. [[verifyJaccardArrays]]: native sorted-merge intersection,
     *      hash-joined — no pair-occurrence shuffle, no array sorts.
@@ -370,22 +448,26 @@ object Dedup {
     * than direct common-counting — loose candidates, each exploded by
     * both full shingle lists in the verify join. The direct form then
     * became the bottleneck at sf10 (exponent 0.72: its per-posting-list
-    * pair stream must be shuffled to count commons). Full PPJoin attacks
-    * the candidates (df-ordered prefixes + both bounds), the array
-    * verify attacks the explosion (no pair-occurrence shuffle at all).
+    * pair stream must be shuffled to count commons). Round 6's stage
+    * probe then showed the round-5 full-PPJoin pipeline spending 75% of
+    * its time MAKING the shingle stream (string distinct + interpreted
+    * HOF + hex round-trips), not joining it — hence the per-doc kernel.
     *
     * `maxDf` caps shingle document frequency ([[capByDf]] semantics):
     * similarity is computed over the capped shingle universe, keeping
-    * per-posting-list fan-out bounded under adversarial skew. */
+    * per-posting-list fan-out bounded under adversarial skew.
+    * `prefixHotDf` bounds COLD prefix posting lists: shingles with
+    * df > prefixHotDf are ordered LAST per doc, so they enter prefixes
+    * only for docs that are mostly hot phrases. */
   def ngramJaccard(df: DataFrame, id: String, text: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxDf: Int = DefaultMaxDf): DataFrame = {
+                   maxDf: Int = DefaultMaxDf,
+                   prefixHotDf: Int = 512): DataFrame = {
     val idType = df.schema(id).dataType
     idOrdering(idType) // loud type validation up-front, both kernel paths
-    val shAll = shingles(df, id, text, n)
-      .select(col(id), shingleHash.as("shingle"))
-    val postings = cappedPostings(shAll, id, idType, maxDf)
-    val docs = ppjoinDocs(postings, id, idType, threshold).cache()
+    val arrs = docShingleArrays(df, id, text, n).cache()
+    val (hot, stop) = hotAndStop(arrs, prefixHotDf, maxDf)
+    val docs = ppjoinDocsKernel(arrs, id, threshold, hot, stop)
     val prefixed = docs.select(col(id).as("__id"), col("sz"),
       posexplode(col("pre")).as(Seq("pos", "shingle")))
     val cand = ppjoinCandidates(prefixed, idType, threshold)
@@ -457,12 +539,15 @@ object Dedup {
     * candidate rows (the old join form's (pair, shared-shingle) stream
     * was this operator's sf10 bottleneck, exponent 0.79).
     *
-    * TWO full-stream shuffles total: [[cappedPostings]] (df cap), then
-    * ONE `groupBy(id)` computing minhash slots AND the verify stage's
-    * value-sorted shingle array AND the set size together. The round-5
-    * form paid four (df agg, cap anti-join, signature agg, array agg) —
-    * signatures and arrays want exactly the same exchange, so they
-    * share it.
+    * ZERO full-stream row shuffles: [[docShingleArrays]] builds per-doc
+    * hash arrays in place, [[hotAndStop]]'s partial-agg count finds the
+    * stop set, and minhash slots + band signatures + the verify stage's
+    * value-sorted array + set size are all computed per doc IN THE
+    * KERNEL from the same array — the round-5 form paid two full-stream
+    * exchanges (posting-list build + signature groupBy) for what is
+    * per-doc arithmetic. The only shuffles left move one (hash, count)
+    * pair per distinct shingle per partition (df count), nBands small
+    * rows per doc (bucket join), and the candidate pairs (verify).
     *
     * `maxDf` guards BOTH skew surfaces: the signature pass (hot shingles
     * would dominate every doc's minhash slots) and the verify stage's
@@ -473,35 +558,72 @@ object Dedup {
                  threshold: Double = 0.5,
                  maxDf: Int = DefaultMaxDf): DataFrame = {
     val idType = df.schema(id).dataType
-    val shAll = shingles(df, id, text, n)
-      .select(col(id), shingleHash.as("shingle"))
-    val postings = cappedPostings(shAll, id, idType, maxDf)
-    val mhAggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), s) =>
-      min((col("__h") * a + b) % MinhashP).as(s"mh_$s")
-    } ++ Seq(array_sort(collect_list(col("shingle"))).as("arr"),
-      count(lit(1)).as("sz"))
-    val mh = postings.withColumn("__h", col("shingle") % MinhashP)
-      .groupBy(col(id)).agg(mhAggs.head, mhAggs.tail: _*)
-      .cache()
+    idOrdering(idType) // loud type validation up-front
+    val arrs = docShingleArrays(df, id, text, n).cache()
+    val (_, stop) = hotAndStop(arrs, maxDf, maxDf)
     val nBands = numHashes / rowsPerBand
-    // band signature = the band's minhash slots joined in seed order;
-    // stack() melts the wide row into (band, sig) rows for the bucket join.
-    val sigCols = (0 until nBands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(s => col(s"mh_$s").cast("string"))
-      concat_ws("|", slots: _*).as(s"__sig$b")
-    }
-    val stacked = mh.select(col(id) +: sigCols: _*)
-      .select(col(id), expr(s"stack($nBands, " +
-        (0 until nBands).map(b => s"$b, __sig$b").mkString(", ") +
-        ") as (band, sig)"))
-    val bandSig = stacked.select(col(id), col("band"), col("sig"))
+    val params = minhashParams(numHashes).toArray
+    val outSchema = StructType(Seq(StructField(id, idType),
+      StructField("arr", ArrayType(LongType, containsNull = false)),
+      StructField("sz", LongType),
+      StructField("sigs", ArrayType(StringType, containsNull = false))))
+    val spark = arrs.sparkSession
+    val stopBc = spark.sparkContext.broadcast(stop)
+    val mh = arrs.mapPartitions { rows =>
+      val stopA = stopBc.value
+      val nh = params.length
+      val slots = new Array[Long](nh)
+      rows.flatMap { r =>
+        val raw = r.getSeq[Long](1)
+        val n0 = raw.length
+        val arr = new Array[Long](n0)
+        var n = 0; var i = 0
+        while (i < n0) {
+          val v = raw(i)
+          if (stopA.length == 0 || java.util.Arrays.binarySearch(stopA, v) < 0) {
+            arr(n) = v; n += 1
+          }
+          i += 1
+        }
+        if (n == 0) Iterator.empty
+        else {
+          java.util.Arrays.fill(slots, Long.MaxValue)
+          i = 0
+          while (i < n) {
+            val h = arr(i) % MinhashP
+            var s = 0
+            while (s < nh) {
+              val hv = (h * params(s)._1 + params(s)._2) % MinhashP
+              if (hv < slots(s)) slots(s) = hv
+              s += 1
+            }
+            i += 1
+          }
+          // band signature = the band's minhash slots joined in seed order
+          val sigs = new Array[String](nBands)
+          var b = 0
+          while (b < nBands) {
+            val sb = new java.lang.StringBuilder
+            var s = b * rowsPerBand
+            while (s < (b + 1) * rowsPerBand) {
+              if (s > b * rowsPerBand) sb.append('|')
+              sb.append(slots(s)); s += 1
+            }
+            sigs(b) = sb.toString; b += 1
+          }
+          Iterator.single(Row(r.get(0), java.util.Arrays.copyOf(arr, n),
+            n.toLong, sigs))
+        }
+      }
+    }(Encoders.row(outSchema)).cache()
+    val bandSig = mh.select(col(id),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
     val cand = bandSig.select(col(id).as("id_a"), col("band"), col("sig"))
       .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify candidates with exact Jaccard, in-kernel, against the
-    // arrays that rode the signature exchange
+    // arrays that rode along in the signature kernel
     verifyJaccardArrays(mh.select(col(id), col("arr"), col("sz")),
       id, cand, threshold)
   }

@@ -8,14 +8,16 @@ import graft.{GraftSession, Tables}
   * of q27/q28 in isolation (materialized through noop) so optimization
   * targets measurement, not guesses. Not part of the driver contract.
   *
-  * Findings that shaped the round-6 rewrite (sf10, local[4]):
-  * the verify joins dominated (180 s: sort-merge joins sorting/spilling
-  * the fat array payloads + `array_intersect` boxing every element),
-  * then the candidate kernel (94 s, Row boxing), then the doc-array
-  * build (interpreted struct array_sort) and the df-attach join
-  * (computing the shingle stream twice). Each has a dedicated fix:
-  * SHUFFLE_HASH + `sorted_common_count`, the primitive tuple kernel,
-  * the JVM-sorted [[Dedup.ppjoinDocs]], and [[Dedup.cappedPostings]]. */
+  * Round-6 finding #1 (sf10, local[32], round-5 pipeline): the verify
+  * joins and candidate kernel were NOT the bottleneck anymore — 75% of
+  * q27 end-to-end was MAKING the shingle stream (27.7 of 36.7 s):
+  * `distinct()` shuffling 10⁸ string rows, the interpreted `transform`
+  * lambda, and the md5→hex→conv round-trip per shingle. Fix:
+  * [[Dedup.docShingleArrays]] (per-doc kernel, zero shuffles) + the
+  * [[Dedup.hotAndStop]] broadcast sets replacing both full-stream
+  * grouping exchanges. Earlier findings (r5, kept for history): verify
+  * dominated via sort-merge + `array_intersect` boxing → SHUFFLE_HASH +
+  * `sorted_common_count`; candidate Row boxing → primitive tuple kernel. */
 object DedupStageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf1")
@@ -32,13 +34,15 @@ object DedupStageProbe {
     docsTbl.count() // warmup
 
     val idType = org.apache.spark.sql.types.LongType
-    val shAll = Dedup.shingles(docsTbl, "doc_id", "text", 3)
-      .select(col("doc_id"), Dedup.shingleHash.as("shingle"))
-    time("q27/1 shingle stream")(shAll)
-    val postings = Dedup.cappedPostings(shAll, "doc_id", idType, 10000)
-    time("q27/2 capped postings (one shuffle)")(postings)
-    val docs = Dedup.ppjoinDocs(postings, "doc_id", idType, 0.8)
-    time("q27/3 ppjoin doc arrays")(docs)
+    val arrs0 = Dedup.docShingleArrays(docsTbl, "doc_id", "text", 3)
+    time("q27/1 per-doc shingle arrays (no shuffle)")(arrs0)
+    val arrs = arrs0.cache(); arrs.count()
+    val t0 = System.nanoTime()
+    val (hot, stop) = Dedup.hotAndStop(arrs, 512, 10000)
+    println(f"[probe] q27/2 hot+stop df count: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+      s" (hot=${hot.length}, stop=${stop.length})")
+    val docs = Dedup.ppjoinDocsKernel(arrs, "doc_id", 0.8, hot, stop)
+    time("q27/3 ppjoin doc build (map over cached arrays)")(docs)
     val docsC = docs.cache(); docsC.count()
     val prefixed = docsC.select(col("doc_id").as("__id"), col("sz"),
       posexplode(col("pre")).as(Seq("pos", "shingle")))

@@ -27,6 +27,26 @@ class DedupSpec extends SparkSpecBase {
     assert(sh.size === 7) // 9 tokens -> 7 trigrams, all distinct here
   }
 
+  test("docShingleArrays matches the Catalyst shingle+hash path per doc") {
+    import org.apache.spark.sql.functions._
+    // odd corpus shapes: multi-space runs (empty tokens), < n tokens
+    // (absent), repeated shingles (distinct), unicode text
+    val tricky = docs.union(Seq(
+      (10L, "a  b a  b a  b"), // empty tokens from double spaces, repeats
+      (11L, "too short"),      // < 3 tokens -> absent
+      (12L, "naïve café déjà vu naïve café déjà")
+    ).toDF("doc_id", "text"))
+    val want = Dedup.shingles(tricky, "doc_id", "text", 3)
+      .select(col("doc_id"), Dedup.shingleHash.as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("arr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = Dedup.docShingleArrays(tricky, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet === want.keySet) // doc 11 absent from both
+    assert(!got.contains(11L))
+    for ((k, w) <- want) assert(got(k) === w, s"doc $k arrays diverge")
+  }
+
   test("ngram jaccard finds the planted near-dup and the exact dup") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
