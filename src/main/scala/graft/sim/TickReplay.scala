@@ -40,9 +40,9 @@ object TickReplay {
   /** RSI(14) + Bollinger(20) aggressive-trend-style logic over the
     * kernel's rolling mid window (recomputed per tick, like the
     * reference's LIVE compute basis — `rsi_worker.py:88-94`). */
-  final class RsiBollingerTrend(lots: Double = 1.0) extends DecisionLogic {
-    private val rsiPeriod = 14
-    private val bbPeriod = 20
+  final class RsiBollingerTrend(lots: Double = 1.0,
+                                val rsiPeriod: Int = 14,
+                                val bbPeriod: Int = 20) extends DecisionLogic {
 
     def onTick(ctx: DecisionContext): Seq[Decision] = {
       val m = ctx.recentMids
