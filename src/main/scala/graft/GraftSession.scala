@@ -20,6 +20,9 @@ object GraftSession {
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      // deployment-grade extension wiring: custom functions, the native
+      // as-of planner strategy, and the ASOF JOIN parser/resolution pair
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

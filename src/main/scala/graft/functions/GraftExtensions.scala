@@ -32,5 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (the DataFrame API in graft.plans.NativeAsOf also self-registers
     // per session for ad-hoc use)
     ext.injectPlannerStrategy(_ => graft.plans.NativeAsOf.AsOfJoinStrategy)
+    // ASOF JOIN SQL syntax: parser interceptor rewrites the token pair
+    // and plants the marker; the resolution rule rebuilds the marked
+    // join as the native node (graft.plans.AsofSql)
+    ext.injectParser((_, delegate) => new graft.plans.AsofSql.AsofSqlParser(delegate))
+    ext.injectResolutionRule(_ => graft.plans.AsofSql.ResolveAsofJoin)
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof_marker"),
+      new ExpressionInfo(classOf[graft.plans.AsofSql.GraftAsofMarker].getName,
+        "graft_asof_marker"),
+      (_: Seq[Expression]) => graft.plans.AsofSql.GraftAsofMarker()))
   }
 }

@@ -241,6 +241,39 @@ object TimeseriesQueries extends QueryPack {
         ORDER BY t.event_id"""),
       "Native Catalyst as-of node (custom plan + strategy), result-equal to q18 (SURVEY §4)"),
 
+    // The SAME native as-of operator through SQL SYNTAX: the parser
+    // interceptor + resolution rule (graft.plans.AsofSql) turn
+    // `ASOF JOIN ... ON keys AND l.ts >= r.ts` into AsOfJoinNode —
+    // checked against the identical DuckDB native-ASOF oracle as
+    // q18/q73/q74, so all FOUR as-of paths are proven result-equal.
+    "q76_asof_sql" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("ts_ms"))
+          .createOrReplaceTempView("graft_asof_ticks")
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ns").as("sig_ts_ns"),
+            col("event_id").as("sig_id"), col("value").as("sig_value"),
+            col("ts_ms").as("sig_ts_ms"))
+          .createOrReplaceTempView("graft_asof_signals")
+        s.sql("""
+          SELECT t.event_id, t.user_id, t.ts_ms, s.sig_id, s.sig_value,
+                 t.ts_ms - s.sig_ts_ms AS staleness_ms
+          FROM graft_asof_ticks t ASOF JOIN graft_asof_signals s
+            ON t.user_id = s.user_id AND t.ts_ns >= s.sig_ts_ns
+          ORDER BY t.event_id""")
+      },
+      Some("""SELECT t.event_id, t.user_id, epoch_ms(t.ts) AS ts_ms,
+          s.sig_id, s.sig_value, epoch_ms(t.ts) - s.sig_ts_ms AS staleness_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS sig_id, value AS sig_value,
+                        epoch_ms(ts) AS sig_ts_ms
+                        FROM events WHERE event_type = 'view') s
+          ON t.user_id = s.user_id AND t.ts >= s.ts
+        ORDER BY t.event_id"""),
+      "ASOF JOIN SQL syntax (parser interceptor + resolution rule) planning to the native merge exec"),
+
     // W9: OBV running signed-volume sum.
     "q19_obv" -> QueryDef(
       (s, dir) => {
