@@ -310,8 +310,9 @@ object Similarity {
     *     ·d) both at O(n^1.5·d). A FIXED cell count is quadratic in the
     *     scan term — measured: 200k vectors at 16 cells ran 216 s
     *     (scaling exponent 2.0/decade); adaptive cells bring the scan
-    *     back to n^1.5. The count comes from the source relation
-    *     (metadata-only on parquet).
+    *     back to n^1.5. The sizing `count()` is a real (cheap) job —
+    *     row-group metadata on a bare parquet table, a full computation
+    *     on a derived plan (route once in hot loops).
     *
     * Recall < 1 by construction: only members of probed cells compete. */
   def ivfCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
