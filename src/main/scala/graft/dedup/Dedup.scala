@@ -197,6 +197,25 @@ object Dedup {
     }(Encoders.row(outSchema))
   }
 
+  /** Long-array column accessor tolerant of BOTH external representations
+    * a Row can carry: the encoder's deserialized `Seq[Long]` (boxed) and
+    * the primitive `Array[Long]` that rows keep when a kernel's output
+    * feeds another kernel in the same plan (or reads back from a cached
+    * object boundary). `getSeq` alone ClassCastExceptions on the latter —
+    * caught by the stage probe at sf10, not by the oracle-scale specs. */
+  @inline private def longArray(v: Any): Array[Long] = v match {
+    case a: Array[Long] => a
+    case s: scala.collection.Seq[_] =>
+      val n = s.length
+      val out = new Array[Long](n)
+      var i = 0
+      val it = s.iterator
+      while (i < n) { out(i) = it.next().asInstanceOf[Long]; i += 1 }
+      out
+    case other => throw new IllegalArgumentException(
+      s"expected array<bigint> value, got ${other.getClass}")
+  }
+
   /** Document frequencies ABOVE `bound`, computed with one map-side-
     * combined `groupBy(shingle).count()` over the exploded arrays and
     * collected to the driver as (sorted hot array, sorted stop array).
@@ -252,7 +271,7 @@ object Dedup {
     arrs.mapPartitions { rows =>
       val hotA = hotBc.value; val stopA = stopBc.value
       rows.flatMap { r =>
-        val raw = r.getSeq[Long](1)
+        val raw = longArray(r.get(1))
         val n0 = raw.length
         val arr = new Array[Long](n0)
         var n = 0; var i = 0
@@ -574,7 +593,7 @@ object Dedup {
       val nh = params.length
       val slots = new Array[Long](nh)
       rows.flatMap { r =>
-        val raw = r.getSeq[Long](1)
+        val raw = longArray(r.get(1))
         val n0 = raw.length
         val arr = new Array[Long](n0)
         var n = 0; var i = 0
@@ -633,10 +652,58 @@ object Dedup {
     * production-grade 60-bit fingerprints — banding over narrow
     * fingerprints collides catastrophically on clustered corpora; 15 hex
     * chars stay safely inside BIGINT range in both engines); each bit
-    * votes ±1; fingerprint bit = majority (sum > 0). All bit votes are
-    * parallel aggregate columns in ONE groupBy pass (map-side partial
-    * sums) — no bits× row explosion. Returns (id, simhash: long). */
+    * votes ±1; fingerprint bit = majority (sum > 0).
+    *
+    * Computed per doc IN THE KERNEL (one mapPartitions pass, zero
+    * shuffles) — the same rewrite that fixed q27/q28: the previous
+    * Catalyst form ([[simhashCatalyst]], kept as the parity witness)
+    * paid a full-stream string `distinct()` exchange plus 60 vote
+    * aggregates evaluated per token row. Token distinct-ing, md5 (byte
+    * parity with the SQL oracle), voting, and the majority fold are all
+    * per-doc primitive loops here. Returns (id, simhash: long). */
   def simhash(df: DataFrame, id: String, text: String, bits: Int = 16): DataFrame = {
+    require(bits <= 60, s"simhash supports at most 60 bits, got $bits")
+    val idType = df.schema(id).dataType
+    val outSchema = StructType(Seq(StructField(id, idType),
+      StructField("simhash", LongType)))
+    df.select(col(id), col(text)).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val toks = r.getString(1).split(" ", -1)
+          val seen = new java.util.HashSet[String](toks.length * 2)
+          val votes = new Array[Int](bits)
+          var i = 0
+          while (i < toks.length) {
+            if (seen.add(toks(i))) {
+              val d = md.digest(toks(i).getBytes(utf8))
+              var v = 0L; var b = 0
+              while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+              v = (v << 4) | ((d(7) >> 4) & 0xfL)
+              var k = 0
+              while (k < bits) {
+                votes(k) += (if (((v >>> k) & 1L) == 1L) 1 else -1); k += 1
+              }
+            }
+            i += 1
+          }
+          var fp = 0L; var k = 0
+          while (k < bits) { if (votes(k) > 0) fp |= 1L << k; k += 1 }
+          Iterator.single(Row(r.get(0), fp))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The Catalyst form of [[simhash]], kept as the spec parity witness:
+    * token distinct (one string-stream exchange), md5→hex→conv hash, 60
+    * parallel vote aggregates. Identical results; measured slower at
+    * every scale once the stream is large (the exchange + interpreted
+    * per-row vote evaluation dominate). */
+  private[dedup] def simhashCatalyst(df: DataFrame, id: String, text: String,
+                                     bits: Int = 16): DataFrame = {
     require(bits <= 60, s"simhash supports at most 60 bits, got $bits")
     val toks = tokens(df, id, text).select(col(id), col("token")).distinct()
       .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
@@ -653,35 +720,77 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     * Candidate generation is the pigeonhole banding used at scale: split
     * the fingerprint into maxDist+1 bit segments — any pair within maxDist
-    * must agree exactly on ≥1 segment — and equi-join on (segment, value).
+    * must agree exactly on ≥1 segment — and bucket on (segment, value).
     * No cartesian product anywhere.
     *
-    * The fingerprints RIDE THROUGH the segment join (8 bytes each), so
-    * hamming computes and filters in the join stage itself — candidates
-    * failing the distance cut die before the dedup `distinct`, and there
-    * is no join-back to the fingerprint table. The earlier form
-    * distinct-ed the full candidate set, then joined fingerprints on
-    * twice; carrying 16 bytes is far cheaper than moving every candidate
-    * pair two more times. */
+    * Pairs are generated IN THE KERNEL per bucket (the same
+    * vectors-ride-into-buckets move as the LSH ANN scorer): one
+    * `groupByKey` on the combined (seg, value) long key, then a primitive
+    * double loop with the XOR + bit-count prune — a failing pair costs
+    * two long reads and never materializes a row. The earlier segment
+    * SELF-JOIN paid the join machinery per candidate BEFORE the hamming
+    * filter could kill it; with fixed-width segments bucket sizes grow
+    * linearly in n (pigeonhole — segments cannot widen without losing
+    * the ≥1-agreement guarantee), so making the per-candidate cost two
+    * instructions is what keeps the quadratic term ignorable in practice.
+    *
+    * LOWEST-AGREEING-SEGMENT emission: a qualifying pair appears in every
+    * bucket whose segment agrees (all 4 for an exact duplicate), and on
+    * near-dup-clustered corpora that duplication IS the dominant output
+    * volume. Each bucket's kernel has both fingerprints in hand, so it
+    * emits the pair only when no LOWER segment also agrees — the output
+    * is exactly unique by construction and the old full-output `distinct`
+    * exchange disappears (sf10: 24 s → the answer's own write cost). */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    bits: Int = 16, maxDist: Int = 3): DataFrame = {
     val sh = simhash(df, id, text, bits)
     val nSeg = maxDist + 1
     val segBits = bits / nSeg
     require(segBits > 0, "bits must exceed maxDist")
-    val segs = sh.sparkSession.range(nSeg).select(col("id").as("seg"))
-    val banded = sh.crossJoin(broadcast(segs))
-      .withColumn("seg_val",
-        expr(s"shiftright(simhash, cast(seg * $segBits as int)) % ${1L << segBits}"))
-    val a = banded.select(col(id).as("id_a"), col("simhash").as("sh_a"),
-      col("seg"), col("seg_val"))
-    val b = banded.select(col(id).as("id_b"), col("simhash").as("sh_b"),
-      col("seg"), col("seg_val"))
-    a.join(b, Seq("seg", "seg_val"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxDist) // prune BEFORE the pair dedup
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .distinct()
+    val idType = df.schema(id).dataType
+    val ord = idOrdering(idType)
+    val spark = sh.sparkSession
+    val segMask = (1L << segBits) - 1
+    val bandedSchema = StructType(Seq(StructField("bucket", LongType),
+      StructField(id, idType), StructField("simhash", LongType)))
+    val banded = sh.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fp = r.getLong(1)
+        (0 until nSeg).iterator.map { seg =>
+          Row((seg.toLong << segBits) | ((fp >>> (seg * segBits)) & segMask),
+            r.get(0), fp)
+        }
+      }
+    }(Encoders.row(bandedSchema))
+    val outSchema = StructType(Seq(StructField("id_a", idType),
+      StructField("id_b", idType), StructField("hamming", IntegerType)))
+    banded.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (key, it) =>
+        val seg = (key >>> segBits).toInt
+        val rows = it.toArray
+        val ids = new Array[Any](rows.length)
+        val fps = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) { ids(i) = rows(i).get(1); fps(i) = rows(i).getLong(2); i += 1 }
+        def lowestAgreeing(x: Long): Boolean = {
+          var s = 0
+          while (s < seg) {
+            if (((x >>> (s * segBits)) & segMask) == 0L) return false
+            s += 1
+          }
+          true
+        }
+        for {
+          a <- rows.indices.iterator
+          b <- (a + 1 until rows.length).iterator
+          x = fps(a) ^ fps(b)
+          ham = java.lang.Long.bitCount(x)
+          if ham <= maxDist && lowestAgreeing(x) &&
+            ord.compare(ids(a), ids(b)) != 0
+        } yield {
+          if (ord.compare(ids(a), ids(b)) < 0) Row(ids(a), ids(b), ham)
+          else Row(ids(b), ids(a), ham)
+        }
+      }(Encoders.row(outSchema))
   }
 }

@@ -59,6 +59,21 @@ object DedupStageProbe {
       Dedup.ngramJaccard(docsTbl, "doc_id", "text", 3, 0.8))
     time("q28 end-to-end")(
       Dedup.minhashLsh(docsTbl, "doc_id", "text", 3, 12, 3, 0.8))
+    // q30 stages: fingerprints alone, then pairs with fingerprints cached
+    val fp = Dedup.simhash(docsTbl, "doc_id", "text", 60)
+    time("q30/1 fingerprints (kernel)")(fp)
+    // bucket-size histogram: the pair stage is quadratic WITHIN a
+    // (segment, value) bucket, so the top sizes are the skew story
+    val top = fp.select(col("simhash"))
+      .flatMap { r =>
+        val v = r.getLong(0)
+        (0 until 4).map(s => (s.toLong << 15) | ((v >>> (s * 15)) & 0x7fff))
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
+      .count().orderBy(col("count(1)").desc).limit(8).collect()
+    println(s"[probe] q30/2 top bucket sizes: ${top.map(_.toString).mkString(" ")}")
+    time("q30 end-to-end")(
+      Dedup.simhashPairs(docsTbl, "doc_id", "text", 60, 3))
     spark.stop()
   }
 }

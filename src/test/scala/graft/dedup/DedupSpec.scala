@@ -47,6 +47,20 @@ class DedupSpec extends SparkSpecBase {
     for ((k, w) <- want) assert(got(k) === w, s"doc $k arrays diverge")
   }
 
+  test("simhash kernel matches the Catalyst witness bit-for-bit") {
+    val tricky = docs.union(Seq(
+      (10L, "a  b a  b"),          // empty tokens, repeats
+      (12L, "naïve café déjà vu")  // unicode
+    ).toDF("doc_id", "text"))
+    for (bits <- Seq(16, 60)) {
+      val want = Dedup.simhashCatalyst(tricky, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Dedup.simhash(tricky, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"simhash($bits) diverges from the witness")
+    }
+  }
+
   test("ngram jaccard finds the planted near-dup and the exact dup") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
