@@ -92,20 +92,20 @@ object Backtest {
       nSymbols: Long, nWindows: Long, nScenarios: Long, nErrors: Long,
       nTrades: Long, totalNetPnl: Double)
 
-  /** Run the full phase 0–7 pipeline. `ticks` must carry (symbol: string,
-    * ts_ms: long, mid: double) — see [[loadEventsAsTicks]] for the
-    * events-table adapter. Writes ranking CSV + report JSONs under
-    * `outDir` and returns the per-scenario summary frame (one row per
-    * scenario: stats ⋈ window role ⋈ rank). */
-  def run(spark: SparkSession, ticks: DataFrame, outDir: String,
-          logic: DecisionLogic, cfg: Config = Config()): DataFrame = {
-    import spark.implicits._
+  /** The prepared mount (reference `prepare_mount` output, phases 1-6
+    * tick tagging): everything a kernel execution needs, independent of
+    * the strategy parameters — which is exactly why a sweep can reuse it
+    * across the whole grid (`batch_orchestrator.py:656-695`: mount
+    * identity excludes strategy params). */
+  case class Mount(simTicks: Dataset[SimTick], windows: DataFrame,
+                   quality: DataFrame, avail: DataFrame)
 
-    // ---- Phase 0: fail-fast typed parameter validation (X6) ----------
-    val rsiW = Workers.registry("CORE/rsi")
-    val bbW = Workers.registry("CORE/bollinger")
-    val rsiCfg = rsiW.validate(cfg.rsiParams)
-    val bbCfg = bbW.validate(cfg.bbParams)
+  /** Phases 1-6 (pre-kernel): coverage, availability, load, quality
+    * gate, scenario windows, tick tagging. `warmupMs` is the caller's
+    * phase-3 requirement (max over the strategy grid for sweeps). */
+  def prepareMount(spark: SparkSession, ticks: DataFrame, cfg: Config,
+                   warmupMs: Long): Mount = {
+    import spark.implicits._
 
     // ---- Phase 1: index & coverage -----------------------------------
     val coverage = Catalog.coverage(ticks, Seq("symbol"), "ts_ms",
@@ -116,11 +116,6 @@ object Backtest {
       .head()
     val (startMs, endMs) = (span.getLong(0), span.getLong(1))
     val avail = Catalog.availability(coverage, Seq("symbol"), startMs, endMs)
-
-    // ---- Phase 3: data requirements (ST4 warmup lookback) ------------
-    val warmupBars = math.max(
-      rsiW.warmupBars(rsiCfg), bbW.warmupBars(bbCfg))
-    val warmupMs = warmupBars * cfg.warmupBarMs
 
     // ---- Phase 4: load (spread synthesis for mid-only feeds) ---------
     val loaded = ticks.select(col("symbol"), col("ts_ms"),
@@ -168,13 +163,43 @@ object Backtest {
         col("bid"), col("ask"))
       .as[SimTick]
 
-    val simCfg = SimConfig(
-      SymbolSpec(digits = 2, tickValue = 1.0),
-      startBalance = cfg.startBalance,
-      commissionPerLot = cfg.commissionPerLot,
-      latencyMinMs = 20, latencyMaxMs = 120, latencySeed = 42L,
-      barTimeframesMs = Seq(cfg.warmupBarMs))
-    val outcomes = SimKernel.runScenariosOutcomes(simTicks, simCfg,
+    Mount(simTicks, windows, quality, avail)
+  }
+
+  /** The phase-6 kernel config shared by [[run]] and [[sweep]]. */
+  private def simConfig(cfg: Config): SimConfig = SimConfig(
+    SymbolSpec(digits = 2, tickValue = 1.0),
+    startBalance = cfg.startBalance,
+    commissionPerLot = cfg.commissionPerLot,
+    latencyMinMs = 20, latencyMaxMs = 120, latencySeed = 42L,
+    barTimeframesMs = Seq(cfg.warmupBarMs))
+
+  /** Run the full phase 0–7 pipeline. `ticks` must carry (symbol: string,
+    * ts_ms: long, mid: double) — see [[loadEventsAsTicks]] for the
+    * events-table adapter. Writes ranking CSV + report JSONs under
+    * `outDir` and returns the per-scenario summary frame (one row per
+    * scenario: stats ⋈ window role ⋈ rank). */
+  def run(spark: SparkSession, ticks: DataFrame, outDir: String,
+          logic: DecisionLogic, cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+
+    // ---- Phase 0: fail-fast typed parameter validation (X6) ----------
+    val rsiW = Workers.registry("CORE/rsi")
+    val bbW = Workers.registry("CORE/bollinger")
+    val rsiCfg = rsiW.validate(cfg.rsiParams)
+    val bbCfg = bbW.validate(cfg.bbParams)
+
+    // ---- Phase 3: data requirements (ST4 warmup lookback) ------------
+    val warmupBars = math.max(
+      rsiW.warmupBars(rsiCfg), bbW.warmupBars(bbCfg))
+    val warmupMs = warmupBars * cfg.warmupBarMs
+
+    // ---- Phases 1-6 (pre-kernel): the mount --------------------------
+    val mount = prepareMount(spark, ticks, cfg, warmupMs)
+    val (simTicks, windows, quality, avail) =
+      (mount.simTicks, mount.windows, mount.quality, mount.avail)
+
+    val outcomes = SimKernel.runScenariosOutcomes(simTicks, simConfig(cfg),
       new WarmupGate(logic)).cache()
 
     // ---- Phase 7: summary — report stack + ranking -------------------
@@ -226,6 +251,69 @@ object Backtest {
     ranked.orderBy(col("rank"))
   }
 
+  /** Sweep mode (reference warm path, #419): a strategy parameter grid
+    * through the SAME phase chain, preparing the mount ONCE (phases 0-5 +
+    * window tagging are parameter-independent) and executing the whole
+    * grid in ONE kernel pass ([[graft.sweep.Sweep.runSweepFused]] — one
+    * tick shuffle total, per-scenario in-memory replay per combination,
+    * vs. the naive one-full-pipeline-per-point which re-reads and
+    * re-shuffles the ticks G times).
+    *
+    * Grid keys: `rsi_period`, `bb_period` (each a list of values —
+    * validated fail-fast per combination through the X6 worker surface,
+    * phase 0). Warmup margin is the MAX over the grid, so every
+    * combination sees at least its required lookback; the WarmupGate
+    * still pins trading to each scenario's window start.
+    *
+    * Artifacts under `outDir`: `sweep_ranking` CSV (rank × combination,
+    * objective = total net P&L, A16 tie-break semantics), `sweep_ledger`
+    * JSON (per combination × scenario), plus availability/quality from
+    * the mount. Returns the ranked per-combination frame. */
+  def sweep(spark: SparkSession, ticks: DataFrame, outDir: String,
+            grid: Map[String, Seq[String]], lots: Double = 1.0,
+            cfg: Config = Config()): DataFrame = {
+    val rsiW = Workers.registry("CORE/rsi")
+    val bbW = Workers.registry("CORE/bollinger")
+
+    // ---- Phase 0 over the grid + phase 3 max-lookback ----------------
+    val combos = graft.sweep.Sweep.expandGrid(grid)
+    require(combos.nonEmpty, "sweep: empty parameter grid")
+    val warmupBars = combos.map { c =>
+      val rsiCfg = rsiW.validate(Map("period" -> c.params("rsi_period")))
+      val bbCfg = bbW.validate(Map("period" -> c.params("bb_period")))
+      math.max(rsiW.warmupBars(rsiCfg), bbW.warmupBars(bbCfg))
+    }.max
+    val warmupMs = warmupBars * cfg.warmupBarMs
+
+    // ---- Phases 1-6 once: the shared mount ---------------------------
+    val mount = prepareMount(spark, ticks, cfg, warmupMs)
+
+    // ---- Phase 6 fused: whole grid, one tick shuffle -----------------
+    val ledger = graft.sweep.Sweep.runSweepFused("backtest_sweep",
+      mount.simTicks, grid, params => {
+        (simConfig(cfg), new WarmupGate(new TickReplay.RsiBollingerTrend(
+          lots = lots,
+          rsiPeriod = params("rsi_period").toInt,
+          bbPeriod = params("bb_period").toInt)))
+      }).cache()
+
+    // ---- Phase 7: objectives + ranking -------------------------------
+    val ranked = Reports.sweepRanking(
+      graft.sweep.Sweep.ledgerObjectives(ledger), objective = "objective")
+      .select(col("rank"), col("run_id"), col("params"), col("status"),
+        col("objective").as("net_pnl"), col("n_trades"), col("worst_drawdown"))
+
+    Serve.writeRankingCsv(
+      ranked.withColumn("params", to_json(col("params")))
+        .orderBy(col("rank")), s"$outDir/sweep_ranking")
+    Serve.writeReportJson(ledger.orderBy(col("runId"), col("scenarioId")),
+      outDir, "sweep_ledger")
+    Serve.writeReportJson(mount.avail.orderBy(col("symbol")), outDir, "availability")
+    Serve.writeReportJson(mount.quality.orderBy(col("symbol")), outDir, "quality")
+
+    ranked.orderBy(col("rank"))
+  }
+
   /** Adapter: the driver testdata's events table as a tick feed —
     * user_id → symbol, value → mid, epoch-ms event time. */
   def loadEventsAsTicks(spark: SparkSession, sfDir: String,
@@ -236,24 +324,42 @@ object Backtest {
         .as("symbol"), col("ts_ms"), col("value").as("mid"))
 
   /** `sbt "runMain graft.Backtest [sfDir] [outDir]"` — the one-command
-    * backtest: events ticks → windows → kernel → ranked report. */
+    * backtest: events ticks → windows → kernel → ranked report.
+    * `sbt "runMain graft.Backtest [sfDir] [outDir] sweep"` — sweep mode:
+    * a default rsi×bollinger grid through the shared mount, one fused
+    * kernel pass, ranked combinations. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("target/backtest_out")
     val spark = GraftSession.localFromEnv()
     val cfg = Config()
-    val ranked = run(spark, loadEventsAsTicks(spark, sfDir, cfg.maxSymbols),
-      outDir, new TickReplay.RsiBollingerTrend(lots = 1.0,
-        rsiPeriod = cfg.rsiParams("period").toInt,
-        bbPeriod = cfg.bbParams("period").toInt), cfg)
-    val top = ranked.limit(10).collect()
-    println(f"[backtest] ${top.length} top scenarios (of ${ranked.count()}):")
-    top.foreach { r =>
-      println(f"[backtest]   #${r.getAs[Int]("rank")}%3d ${r.getAs[String]("scenarioId")}%-28s " +
-        f"${r.getAs[String]("role")}%-13s net=${r.getAs[Double]("net_pnl")}%10.2f " +
-        f"trades=${r.getAs[Long]("nTrades")}%3d")
+    if (args.lift(2).contains("sweep")) {
+      val grid = Map("rsi_period" -> Seq("3", "5", "8"),
+        "bb_period" -> Seq("6", "8", "12"))
+      val ranked = sweep(spark,
+        loadEventsAsTicks(spark, sfDir, cfg.maxSymbols), outDir, grid,
+        lots = 1.0, cfg).collect()
+      println(s"[backtest] sweep: ${ranked.length} ranked combinations:")
+      ranked.foreach { r =>
+        println(f"[backtest]   #${r.getAs[Int]("rank")}%3d ${r.getAs[String]("run_id")}%-10s " +
+          f"${r.getAs[Map[String, String]]("params").toSeq.sorted.mkString(" ")}%-34s " +
+          f"net=${r.getAs[Double]("net_pnl")}%10.2f trades=${r.getAs[Long]("n_trades")}%4d")
+      }
+      println(s"[backtest] artifacts in $outDir (sweep_ranking CSV + ledger JSON)")
+    } else {
+      val ranked = run(spark, loadEventsAsTicks(spark, sfDir, cfg.maxSymbols),
+        outDir, new TickReplay.RsiBollingerTrend(lots = 1.0,
+          rsiPeriod = cfg.rsiParams("period").toInt,
+          bbPeriod = cfg.bbParams("period").toInt), cfg)
+      val top = ranked.limit(10).collect()
+      println(f"[backtest] ${top.length} top scenarios (of ${ranked.count()}):")
+      top.foreach { r =>
+        println(f"[backtest]   #${r.getAs[Int]("rank")}%3d ${r.getAs[String]("scenarioId")}%-28s " +
+          f"${r.getAs[String]("role")}%-13s net=${r.getAs[Double]("net_pnl")}%10.2f " +
+          f"trades=${r.getAs[Long]("nTrades")}%3d")
+      }
+      println(s"[backtest] artifacts in $outDir (ranking CSV + report JSONs)")
     }
-    println(s"[backtest] artifacts in $outDir (ranking CSV + report JSONs)")
     spark.stop()
   }
 }

@@ -72,9 +72,69 @@ object SimKernel {
       }
   }
 
+  /** Sweep-fused kernel: run EVERY (variantId, config, logic) variant
+    * against the same tick stream in ONE pass. Ticks repartition + sort
+    * once; each scenario's rows buffer in executor memory and replay
+    * through all variants back-to-back — so a G-point parameter sweep
+    * pays one shuffle of the data instead of G (the per-variant
+    * [[runScenariosOutcomes]] jobs of [[graft.sweep.Sweep.runSweep]] each
+    * re-shuffle the cached ticks). At cluster scale the shuffle IS the
+    * sweep's data cost; the in-memory replays are CPU-only and the
+    * kernel sustains millions of ticks/s (see `TickReplay`).
+    *
+    * Results are BIT-IDENTICAL to running each variant alone: `runOne`
+    * is invoked with the ORIGINAL scenarioId (same latency seed, same
+    * stats/trade ids) and the variant id is returned alongside, not
+    * encoded into the scenario. Failure isolation matches
+    * [[runScenariosOutcomes]], per (scenario, variant).
+    *
+    * Memory contract: one scenario's ticks must fit on an executor
+    * (SimTick is 5 primitives + the id string; a 10M-tick scenario is
+    * ~0.5 GB). Scenario windows are block-bounded by the window
+    * generator, which is what bounds this buffer — the same contract as
+    * the reference's in-process per-scenario DataFrame. */
+  def runScenariosMultiplexed(ticks: Dataset[SimTick],
+      variants: Seq[(String, SimConfig, DecisionLogic)])
+      : Dataset[(String, ScenarioOutcome)] = {
+    require(variants.nonEmpty, "runScenariosMultiplexed needs >= 1 variant")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .repartition(org.apache.spark.sql.functions.col("scenarioId"))
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.col("scenarioId"),
+        org.apache.spark.sql.functions.col("timeMsc"))
+      .mapPartitions { it =>
+        val runners = variants.map { case (vid, cfg, logic) =>
+          (vid, new ScenarioRunner(cfg, logic))
+        }
+        val buf = it.buffered
+        new Iterator[Iterator[(String, ScenarioOutcome)]] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Iterator[(String, ScenarioOutcome)] = {
+            val sid = buf.head.scenarioId
+            val arr = mutable.ArrayBuffer.empty[SimTick]
+            while (buf.hasNext && buf.head.scenarioId == sid) arr += buf.next()
+            runners.iterator.map { case (vid, r) =>
+              (vid, r.runBuffered(sid, arr))
+            }
+          }
+        }.flatten
+      }
+  }
+
   /** Runs consecutive scenario groups off a sorted partition iterator. */
   private final class ScenarioRunner(config: SimConfig, logic: DecisionLogic)
       extends Serializable {
+
+    /** One scenario from an in-memory buffer, failures isolated like
+      * [[runSafe]] (no drain needed — the buffer bounds the scenario). */
+    def runBuffered(sid: String, ticks: collection.Seq[SimTick]): ScenarioOutcome =
+      try ScenarioOutcome(sid, "", Some(runOne(sid, ticks.iterator)))
+      catch {
+        case e: Exception =>
+          ScenarioOutcome(sid, s"${e.getClass.getSimpleName}: ${e.getMessage}", None)
+      }
 
     def run(it: Iterator[SimTick]): Iterator[ScenarioResult] = new Iterator[ScenarioResult] {
       private val buf = it.buffered

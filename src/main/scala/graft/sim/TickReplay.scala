@@ -46,7 +46,9 @@ object TickReplay {
 
     def onTick(ctx: DecisionContext): Seq[Decision] = {
       val m = ctx.recentMids
-      if (m.length < bbPeriod + 1) return Seq(Hold)
+      // warm up until BOTH lookbacks fit (rsi needs period+1 mids for its
+      // deltas — guarding only bbPeriod under-indexed when rsi > bb)
+      if (m.length < math.max(rsiPeriod, bbPeriod) + 1) return Seq(Hold)
       // RSI over the last rsiPeriod deltas (simple-mean variant, W6)
       var gain = 0.0; var loss = 0.0
       var i = m.length - rsiPeriod

@@ -101,6 +101,53 @@ object Sweep {
     (ledger, () => { cached.unpersist(); () })
   }
 
+  /** [[runSweep]] with the sweep-fused kernel: the whole grid executes in
+    * ONE repartition+sort pass over the ticks
+    * ([[SimKernel.runScenariosMultiplexed]] — each scenario's rows buffer
+    * once and replay through every combination in memory), instead of one
+    * full shuffle of the tick data per combination. Same ledger rows as
+    * [[runSweep]], bit-identical per (runId, scenarioId) — the kernel
+    * runs under the original scenarioId, so latency seeds and every
+    * downstream stat match the per-combo path exactly (spec'd).
+    *
+    * Prefer this path for real sweeps; [[runSweep]] remains for callers
+    * that need per-combo plans (e.g. streaming results out combo by
+    * combo) and as the parity witness. */
+  def runSweepFused(sweepId: String, ticks: Dataset[SimTick],
+               grid: Map[String, Seq[String]],
+               build: Map[String, String] => (SimConfig, DecisionLogic)): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val built = expandGrid(grid).map { c => (c, scala.util.Try(build(c.params))) }
+    // build() failures surface at plan-construction time on the driver;
+    // record the message so the ledger says WHY the combo failed.
+    val bad = built.collect { case (c, scala.util.Failure(e)) =>
+      SweepRow(sweepId, c.runId, "error", c.params, "", 0L, 0.0, 0.0, e.getMessage)
+    }
+    val good = built.collect { case (c, scala.util.Success((cfg, logic))) =>
+      (c.runId, cfg, logic)
+    }
+    val meta = built.collect { case (c, scala.util.Success((cfg, _))) =>
+      c.runId -> (c.params, cfg.startBalance)
+    }.toMap
+    val fused =
+      if (good.isEmpty) spark.emptyDataset[SweepRow]
+      else SimKernel.runScenariosMultiplexed(ticks, good).map { case (runId, o) =>
+        val (params, start) = meta(runId)
+        o.result match {
+          case Some(r) =>
+            SweepRow(sweepId, runId, "ok", params,
+              r.stats.scenarioId, r.stats.nTrades,
+              r.stats.finalBalance - start, r.stats.maxDrawdown)
+          case None =>
+            SweepRow(sweepId, runId, "error", params,
+              o.scenarioId, 0L, 0.0, 0.0, o.error)
+        }
+      }
+    if (bad.isEmpty) fused.toDF()
+    else fused.toDF().union(spark.createDataset(bad).toDF())
+  }
+
   /** Per-run objective roll-up of a sweep ledger (sum net P&L across the
     * run's scenarios) — the input shape for Reports.sweepRanking. */
   def ledgerObjectives(ledger: DataFrame): DataFrame =

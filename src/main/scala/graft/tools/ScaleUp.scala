@@ -28,7 +28,10 @@ import graft.GraftSession
   *   - `events` keeps its timestamps (density grows, horizon fixed —
   *     how a busier venue looks) and shifts event/user ids.
   *
-  * `runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor]`
+  * `runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor] [tables]`
+  * — `tables` is an optional comma list (e.g. `documents,embeddings`)
+  * restricting which tables are generated, for single-family ladder
+  * points where scaling the full schema would waste most of the disk.
   */
 object ScaleUp {
 
@@ -36,12 +39,15 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables = args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.localFromEnv()
-    scaleAll(spark, src, dst, factor)
+    scaleAll(spark, src, dst, factor, tables)
     spark.stop()
   }
 
-  def scaleAll(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def scaleAll(spark: SparkSession, src: String, dst: String, factor: Int,
+               tables: Option[Set[String]] = None): Unit = {
+    def want(name: String): Boolean = tables.forall(_.contains(name))
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
@@ -57,63 +63,78 @@ object ScaleUp {
       df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
     def shifted(c: String, s: Long) = (col(c) + col("__rep") * s).as(c)
 
-    val custS = stride(read("customer"), "c_custkey")
-    val ordS = stride(read("orders"), "o_orderkey")
-    val partS = stride(read("part"), "p_partkey")
-    val suppS = stride(read("supplier"), "s_suppkey")
+    if (Seq("customer", "orders", "part", "supplier", "lineitem").exists(want)) {
+      val custS = stride(read("customer"), "c_custkey")
+      val ordS = stride(read("orders"), "o_orderkey")
+      val partS = stride(read("part"), "p_partkey")
+      val suppS = stride(read("supplier"), "s_suppkey")
+
+      if (want("customer"))
+        write(reps(read("customer")).select(shifted("c_custkey", custS),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+          "customer", 4)
+      if (want("supplier"))
+        write(reps(read("supplier")).select(shifted("s_suppkey", suppS),
+          col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier", 1)
+      if (want("part"))
+        write(reps(read("part")).select(shifted("p_partkey", partS),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice")), "part", 4)
+      if (want("orders"))
+        write(reps(read("orders")).select(shifted("o_orderkey", ordS),
+          shifted("o_custkey", custS), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")), "orders", 8)
+      if (want("lineitem"))
+        write(reps(read("lineitem")).select(shifted("l_orderkey", ordS),
+          shifted("l_partkey", partS), shifted("l_suppkey", suppS),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate")), "lineitem", 16)
+    }
 
     // dims copied as-is
-    read("region").write.mode("overwrite").parquet(s"$dst/region.parquet")
-    read("nation").write.mode("overwrite").parquet(s"$dst/nation.parquet")
-
-    write(reps(read("customer")).select(shifted("c_custkey", custS),
-      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      "customer", 4)
-    write(reps(read("supplier")).select(shifted("s_suppkey", suppS),
-      col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier", 1)
-    write(reps(read("part")).select(shifted("p_partkey", partS),
-      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
-      col("p_retailprice")), "part", 4)
-    write(reps(read("orders")).select(shifted("o_orderkey", ordS),
-      shifted("o_custkey", custS), col("o_orderstatus"), col("o_totalprice"),
-      col("o_orderdate"), col("o_orderpriority")), "orders", 8)
-    write(reps(read("lineitem")).select(shifted("l_orderkey", ordS),
-      shifted("l_partkey", partS), shifted("l_suppkey", suppS),
-      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-      col("l_discount"), col("l_tax"), col("l_returnflag"),
-      col("l_linestatus"), col("l_shipdate")), "lineitem", 16)
+    if (want("region"))
+      read("region").write.mode("overwrite").parquet(s"$dst/region.parquet")
+    if (want("nation"))
+      read("nation").write.mode("overwrite").parquet(s"$dst/nation.parquet")
 
     // events: session reads TIMESTAMP(NANOS) as long (nanosAsLong);
     // the scaled copy stores the same epoch-nanos as plain INT64, which
     // Tables.events handles identically.
-    val ev = read("events")
-    val evS = stride(ev, "event_id")
-    val userS = stride(ev, "user_id")
-    write(reps(ev).select(shifted("event_id", evS), col("ts"),
-      shifted("user_id", userS), col("event_type"), col("value"),
-      col("props")), "events", 8)
+    if (want("events")) {
+      val ev = read("events")
+      val evS = stride(ev, "event_id")
+      val userS = stride(ev, "user_id")
+      write(reps(ev).select(shifted("event_id", evS), col("ts"),
+        shifted("user_id", userS), col("event_type"), col("value"),
+        col("props")), "events", 8)
+    }
 
-    val docs = read("documents")
-    val docS = stride(docs, "doc_id")
-    val salted = when(col("__rep") === 0, col("text")).otherwise(
-      array_join(transform(split(col("text"), " "),
-        t => concat(t, lit("_r"), col("__rep"))), " "))
-    write(reps(docs).select(shifted("doc_id", docS), salted.as("text"),
-      col("lang"), col("source"), length(salted).cast("long").as("n_chars")),
-      "documents", 8)
+    if (want("documents")) {
+      val docs = read("documents")
+      val docS = stride(docs, "doc_id")
+      val salted = when(col("__rep") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_r"), col("__rep"))), " "))
+      write(reps(docs).select(shifted("doc_id", docS), salted.as("text"),
+        col("lang"), col("source"), length(salted).cast("long").as("n_chars")),
+        "documents", 8)
+    }
 
-    val emb = read("embeddings")
-    val vecS = stride(emb, "vec_id")
-    val d = size(col("embedding"))
-    val rot = col("__rep") % d
-    val rotated = when(rot === 0, col("embedding")).otherwise(
-      concat(slice(col("embedding"), rot + 1, d - rot),
-        slice(col("embedding"), lit(1), rot)))
-    // second lap of rotations (rep >= d) flips sign: same geometry per
-    // copy, globally distinct vectors up to factor 2d
-    val placed = when((col("__rep") / d).cast("int") % 2 === 0, rotated)
-      .otherwise(transform(rotated, x => -x))
-    write(reps(emb).select(shifted("vec_id", vecS),
-      placed.as("embedding"), col("label")), "embeddings", 4)
+    if (want("embeddings")) {
+      val emb = read("embeddings")
+      val vecS = stride(emb, "vec_id")
+      val d = size(col("embedding"))
+      val rot = col("__rep") % d
+      val rotated = when(rot === 0, col("embedding")).otherwise(
+        concat(slice(col("embedding"), rot + 1, d - rot),
+          slice(col("embedding"), lit(1), rot)))
+      // second lap of rotations (rep >= d) flips sign: same geometry per
+      // copy, globally distinct vectors up to factor 2d
+      val placed = when((col("__rep") / d).cast("int") % 2 === 0, rotated)
+        .otherwise(transform(rotated, x => -x))
+      write(reps(emb).select(shifted("vec_id", vecS),
+        placed.as("embedding"), col("label")), "embeddings", 4)
+    }
   }
 }

@@ -109,6 +109,54 @@ class BacktestSpec extends SparkSpecBase {
     assert(gateProbe.onTick(ctxAfter).exists(_.isInstanceOf[OpenMarket]))
   }
 
+  test("sweep mode: shared mount, fused grid, combo matches its solo run") {
+    val out = java.nio.file.Files.createTempDirectory("backtest_sweep").toString
+    // (5, 8) carries the grid's max warmup (rsi 5→6 bars, bb 8→8 bars),
+    // so its sweep execution sees exactly the warmup margin a solo run
+    // with those params computes — the parity below is then bit-exact
+    val grid = Map("rsi_period" -> Seq("5", "3"), "bb_period" -> Seq("8", "6"))
+    val ranked = Backtest.sweep(spark, syntheticTicks, out, grid,
+      lots = 1.0, cfg = cfg).collect()
+
+    assert(ranked.length === 4)
+    assert(ranked.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4))
+    // ranking is objective desc
+    assert(ranked.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("net_pnl"))
+      .toSeq.reverse === ranked.map(_.getAs[Double]("net_pnl")).toSeq.sorted)
+
+    // parity: the (5, 8) combination == the solo phase 0-7 pipeline with
+    // the same params (cfg defaults are rsi 5 / bb 8)
+    val soloOut = java.nio.file.Files.createTempDirectory("backtest_solo").toString
+    val solo = Backtest.run(spark, syntheticTicks, soloOut,
+      new TickReplay.RsiBollingerTrend(lots = 1.0, rsiPeriod = 5, bbPeriod = 8),
+      cfg)
+    val soloNet = solo.collect().map(_.getAs[Double]("net_pnl")).sum
+    val combo = ranked.find { r =>
+      val p = r.getAs[Map[String, String]]("params")
+      p("rsi_period") == "5" && p("bb_period") == "8"
+    }.get
+    // ranking objective passes through ledgerObjectives' round(..., 6)
+    assert(combo.getAs[Double]("net_pnl") ===
+      BigDecimal(soloNet).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "fused sweep combo diverges from the solo pipeline")
+    // ...and the un-rounded ledger rows match the solo run to the bit
+    val comboLedger = spark.read.json(s"$out/sweep_ledger")
+      .filter(col("runId") === combo.getAs[String]("run_id"))
+      .select("scenarioId", "netPnl").collect()
+      .map(r => r.getAs[String]("scenarioId") -> r.getAs[Double]("netPnl")).toMap
+    val soloPerScenario = solo.collect()
+      .map(r => r.getAs[String]("scenarioId") -> r.getAs[Double]("net_pnl")).toMap
+    assert(comboLedger === soloPerScenario,
+      "fused sweep ledger diverges from the solo pipeline per scenario")
+
+    // artifacts: ranking CSV with 4 rows, ledger JSON per combo x scenario
+    val csv = spark.read.option("header", "true").csv(s"$out/sweep_ranking")
+    assert(csv.count() === 4)
+    val ledger = spark.read.json(s"$out/sweep_ledger")
+    assert(ledger.select("runId").distinct().count() === 4)
+    assert(ledger.count() === 12) // 4 combos x 3 scenarios
+  }
+
   test("phase 0 fails fast on invalid strategy parameters") {
     val out = java.nio.file.Files.createTempDirectory("backtest_bad").toString
     val e = intercept[IllegalArgumentException] {

@@ -194,6 +194,38 @@ class SimKernelSpec extends SparkSpecBase {
     assert(onePartition === sorted)
   }
 
+  test("runScenariosMultiplexed: each variant bit-identical to its solo run") {
+    // the sweep-fused contract: one shuffle, per-scenario in-memory
+    // replay per variant — and NOTHING about the results may change
+    // (same scenarioId → same latency seed → same fills and stats)
+    val base = TickReplay.syntheticTicks(spark, scenarios = 4, totalTicks = 20000L)
+    val variants: Seq[(String, SimConfig, DecisionLogic)] = Seq(
+      ("v0", cfg, new TickReplay.RsiBollingerTrend()),
+      ("v1", cfg.copy(startBalance = 5000.0),
+        new TickReplay.RsiBollingerTrend(rsiPeriod = 7, bbPeriod = 12)))
+    val fused = SimKernel.runScenariosMultiplexed(base, variants).collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.scenarioId).toSeq).toMap
+    val solo = variants.map { case (vid, c, l) =>
+      vid -> SimKernel.runScenariosOutcomes(base, c, l).collect()
+        .sortBy(_.scenarioId).toSeq
+    }.toMap
+    assert(fused.keySet === solo.keySet)
+    for (vid <- solo.keySet) assert(fused(vid) === solo(vid),
+      s"variant $vid diverges between fused and solo runs")
+    // the two variants genuinely differ (the parity above isn't vacuous)
+    assert(fused("v0") !== fused("v1"))
+  }
+
+  test("RsiBollingerTrend warms up past BOTH lookbacks (rsi > bb regression)") {
+    // rsiPeriod > bbPeriod under-indexed recentMids before the guard fix
+    // (found by the Backtest sweep grid: run (rsi 8, bb 6) errored on
+    // every scenario with ArrayIndexOutOfBounds)
+    val base = TickReplay.syntheticTicks(spark, scenarios = 2, totalTicks = 10000L)
+    val out = SimKernel.runScenariosOutcomes(base, cfg,
+      new TickReplay.RsiBollingerTrend(rsiPeriod = 8, bbPeriod = 6)).collect()
+    assert(out.forall(_.error.isEmpty), out.map(_.error).mkString("; "))
+  }
+
   test("retained DecisionContext fails loudly on a post-callback first read") {
     val t = ticks("s1", (1000L, 1.10000, 1.10010), (2000L, 1.10020, 1.10030))
     val out = SimKernel.runScenariosOutcomes(t.toDS(), cfg, new RetainsCtx)

@@ -47,4 +47,45 @@ class SweepSpec extends SparkSpecBase {
     // hold drives the objective; open barely matters
     assert(sens("hold") > sens("open"))
   }
+
+  private def ledgerRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(r => Seq[Any](r.getAs[String]("sweepId"),
+        r.getAs[String]("runId"), r.getAs[String]("status"),
+        r.getAs[Map[String, String]]("params").toSeq.sorted,
+        r.getAs[String]("scenarioId"), r.getAs[Long]("nTrades"),
+        r.getAs[Double]("netPnl"), r.getAs[Double]("maxDrawdown"),
+        r.getAs[String]("error")))
+      .sortBy(_.mkString("|")).toSeq
+
+  test("runSweepFused: ledger bit-identical to the per-combo path") {
+    // two scenarios x four combos: the fused kernel (one shuffle, all
+    // combos per buffered scenario) must reproduce runSweep's ledger
+    // EXACTLY — same scenarioIds mean same latency seeds, so every
+    // netPnl matches to the bit, not within a tolerance
+    val ticks = (0 until 30).flatMap { i =>
+      Seq(SimTick("s1", 1000L + i * 1000, i.toLong, 100.0 + i * 0.01, 100.002 + i * 0.01),
+        SimTick("s2", 1000L + i * 1000, i.toLong, 200.0 - i * 0.02, 200.004 - i * 0.02))
+    }
+    val grid = Map("open" -> Seq("2", "5"), "hold" -> Seq("3", "10"))
+    def build(p: Map[String, String]): (SimConfig, DecisionLogic) =
+      (SimConfig(SymbolSpec(3, 1.0)), new OpenAt(p("open").toLong, p("hold").toLong))
+    val plain = ledgerRows(Sweep.runSweep("sw", ticks.toDS(), grid, build))
+    val fused = ledgerRows(Sweep.runSweepFused("sw", ticks.toDS(), grid, build))
+    assert(plain.length === 8) // 4 combos x 2 scenarios
+    assert(fused === plain)
+  }
+
+  test("runSweepFused: a failing build records an error row, rest proceed") {
+    val ticks = (0 until 10).map { i =>
+      SimTick("s1", 1000L + i * 1000, i.toLong, 100.0 + i * 0.01, 100.002 + i * 0.01)
+    }
+    val grid = Map("open" -> Seq("2", "boom"))
+    def build(p: Map[String, String]): (SimConfig, DecisionLogic) =
+      (SimConfig(SymbolSpec(3, 1.0)), new OpenAt(p("open").toLong, 3))
+    val rows = Sweep.runSweepFused("sw", ticks.toDS(), grid, build).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+    assert(byStatus("ok").map(_.getAs[String]("runId")).toSet === Set("run_0000"))
+    assert(byStatus("error").length === 1)
+    assert(byStatus("error").head.getAs[String]("error").nonEmpty)
+  }
 }
