@@ -31,6 +31,7 @@ object Bench {
       .find(t => java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$sfDir/$t.parquet")))
     warmTable.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -38,7 +39,11 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          // A crashed run's elapsed time is NOT a measurement: record the
+          // failure in the JSON itself (no silent caps convention) so a
+          // downstream reader can never mistake a crash for a slow run.
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop per-query caches (dedup/similarity intermediates) so they
@@ -60,8 +65,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with "[info] ", which breaks naive line-parsers —
     // also persist the JSON to a file so consumers never scrape logs.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType,
   LongType, ShortType, StringType, StructField, StructType}
+import scala.collection.mutable
 import graft.functions.SortedCommonCount.sortedCommonCount
 
 /** Document deduplication for large-scale training-data pipelines:
@@ -216,28 +217,118 @@ object Dedup {
       s"expected array<bigint> value, got ${other.getClass}")
   }
 
-  /** Document frequencies ABOVE `bound`, computed with one map-side-
-    * combined `groupBy(shingle).count()` over the exploded arrays and
-    * collected to the driver as (sorted hot array, sorted stop array).
+  /** Document frequencies ABOVE `bound`, collected to the driver as
+    * (sorted hot array, sorted stop array). Exact, but WITHOUT the full
+    * `explode → groupBy(shingle).count()` exchange the obvious form pays
+    * (at sf100 that exchange moved ~350M partial rows and spilled its
+    * hash maps — 158 s of the dedup queries' time, measured by
+    * [[StageProbe]], to usually find NOTHING over the bound):
     *
-    * Driver-state bound, the reason this collect is scale-honest: at
-    * most streamSize / bound shingles can exceed df = bound (pigeonhole),
-    * so the collected set is ≤ |stream| / min(bound, maxDf) entries
-    * REGARDLESS of corpus size — at 100 TB one raises `bound` with the
-    * corpus (it only trades candidate-stage pruning quality), keeping
-    * the broadcast a few MB. The partial-agg shuffle moves one (hash,
-    * count) pair per distinct shingle per partition — not the stream. */
+    *   1. Chunk-count pass, in-kernel: scan the cached arrays in chunks
+    *      of `chunkSize` shingle occurrences, counting within the chunk
+    *      only (bounded memory: the count map dies at the chunk boundary)
+    *      and emitting (shingle, c) for chunk counts c ≥ 2. With K total
+    *      chunks (accumulator-counted), every occurrence is either in
+    *      some emitted count or alone in its chunk, so
+    *      S(x) ≤ df(x) ≤ S(x) + K where S = sum of x's emitted counts.
+    *      Pigeonhole soundness needs K ≤ b (a shingle spread one-per-
+    *      chunk has df ≤ K): if K > b (corpus outgrew chunkSize · b —
+    *      raise `bound` or `chunkSize` with the corpus, the same knob
+    *      the 100 TB story already turns) we fall back to the exact
+    *      groupBy form, so results never depend on the tuning.
+    *   2. Exact recount restricted to candidates with S > b − K (df > b
+    *      is impossible below that): broadcast the sorted candidate
+    *      array and `treeAggregate` one Long count vector per task
+    *      (binary search per occurrence). No per-shingle shuffle at all —
+    *      and when NO candidate's upper bound clears b (the common case:
+    *      nothing is near the cap), the pass is skipped outright, so the
+    *      whole df computation is ONE scan of the cached arrays.
+    *
+    * Driver-state bound: pass-2 candidates each carry S > b − K chunk-
+    * local repeats, so there are ≤ |stream|/(b − K) of them; the final
+    * hot set keeps the old pigeonhole bound ≤ |stream|/bound. A candidate
+    * set above `maxCandidates` (adversarially repetitive corpora) also
+    * falls back to the exact groupBy form. */
   private[dedup] def hotAndStop(arrs: DataFrame, bound: Int,
-                                maxDf: Int): (Array[Long], Array[Long]) = {
+                                maxDf: Int,
+                                chunkSize: Int = 4 << 20,
+                                maxCandidates: Int = 16 << 20): (Array[Long], Array[Long]) = {
     val b = math.min(bound, maxDf)
-    val rows = arrs.select(explode(col("arr")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > b)
-      .select(col("shingle"), col("__df"))
-      .collect()
-    val hot = rows.map(_.getLong(0)).sorted
-    val stop = rows.filter(_.getLong(1) > maxDf).map(_.getLong(0)).sorted
-    (hot, stop)
+    val spark = arrs.sparkSession
+    import spark.implicits._
+
+    def fromRows(rows: Array[(Long, Long)]): (Array[Long], Array[Long]) = {
+      val hot = rows.map(_._1).sorted
+      val stop = rows.filter(_._2 > maxDf).map(_._1).sorted
+      (hot, stop)
+    }
+
+    def exactGroupBy(): (Array[Long], Array[Long]) = fromRows(
+      arrs.select(explode(col("arr")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > b)
+        .select(col("shingle"), col("__df"))
+        .as[(Long, Long)].collect())
+
+    val chunks = spark.sparkContext.longAccumulator("hotAndStop.chunks")
+    val arrOnly = arrs.select(col("arr")).as[Array[Long]]
+    val chunkCounts = arrOnly.mapPartitions { it =>
+      val seen = mutable.LongMap.empty[Int] // primitive keys, no boxing
+      val out = mutable.ArrayBuffer.empty[(Long, Long)]
+      var inChunk = 0
+      def flush(): Unit = {
+        seen.foreachEntry((k, c) => if (c >= 2) out += ((k, c.toLong)))
+        seen.clear(); inChunk = 0
+      }
+      it.foreach { a =>
+        var i = 0
+        while (i < a.length) {
+          if (inChunk == 0) chunks.add(1L)
+          val v = a(i)
+          seen.update(v, seen.getOrElse(v, 0) + 1)
+          inChunk += 1
+          if (inChunk >= chunkSize) flush()
+          i += 1
+        }
+      }
+      flush()
+      out.iterator
+    }.toDF("shingle", "c").groupBy("shingle").agg(sum("c").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunkCounts.count() // materialize: fixes the chunk accumulator
+    val k = chunks.value
+    val cands: Array[Long] =
+      if (k > b) Array.empty
+      else chunkCounts.filter(col("s") > b - k)
+        .select(col("shingle")).as[Long].collect()
+    chunkCounts.unpersist()
+
+    if (k > b || cands.length > maxCandidates) exactGroupBy()
+    else if (cands.isEmpty) (Array.empty[Long], Array.empty[Long])
+    else {
+      java.util.Arrays.sort(cands)
+      val candBc = spark.sparkContext.broadcast(cands)
+      val dfs = arrOnly.rdd.treeAggregate(new Array[Long](cands.length))(
+        seqOp = (acc, a) => {
+          val ca = candBc.value
+          var i = 0
+          while (i < a.length) {
+            val ix = java.util.Arrays.binarySearch(ca, a(i))
+            if (ix >= 0) acc(ix) += 1
+            i += 1
+          }
+          acc
+        },
+        combOp = (x, y) => {
+          var i = 0
+          while (i < x.length) { x(i) += y(i); i += 1 }
+          x
+        })
+      candBc.destroy()
+      fromRows(cands.indices.iterator
+        .filter(ix => dfs(ix) > b)
+        .map(ix => (cands(ix), dfs(ix))).toArray)
+    }
   }
 
   /** PPJoin doc-side build over [[docShingleArrays]] output — a pure MAP
@@ -321,15 +412,29 @@ object Dedup {
     * This was the last measured super-linear stage in the dedup family
     * (sf10 exponents 0.72/0.79): the pair-occurrence stream is gone.
     *
-    * Physical shape, tuned from the sf10 stage probe:
+    * Physical shape, tuned from the sf10 stage probe and CORRECTED by the
+    * sf100 one:
     *   - `sorted_common_count` (native codegen two-pointer merge over the
     *     value-sorted arrays) instead of `size(array_intersect(...))`,
-    *     whose hash set boxes every element — the probe's single biggest
-    *     cost;
-    *   - SHUFFLE_HASH hints on the docs side: a sort-merge join would
-    *     sort the fat array payloads (and spill them) on every join; the
-    *     hash join builds a per-partition map over the linear-size docs
-    *     table and streams the candidates through.
+    *     whose hash set boxes every element — the sf10 probe's single
+    *     biggest cost;
+    *   - join build sides must be CANDIDATE-sized, never docs-sized: the
+    *     round-5 form hinted SHUFFLE_HASH on the docs side, which builds
+    *     a per-partition hash map over the fat array payloads — memory
+    *     ∝ docs/partition, and at sf100 (5M docs, 16g) it OOMs in
+    *     `HashedRelation` (recorded dead end; the bench's swallowed
+    *     failure masqueraded as a 2-5× "regression" until the stage
+    *     probe surfaced the crash). Now: the first join carries no hint,
+    *     so AQE broadcasts the candidate side (small by construction —
+    *     candidate boundedness is the operator family's own contract)
+    *     and the docs never move; the second join hints SHUFFLE_HASH on
+    *     the JOINED candidate stream, so its hash build is ∝ candidates,
+    *     not docs, and the docs side streams through its exchange
+    *     without sorting. Adversarially huge candidate sets degrade
+    *     join 1 to sort-merge with spill — slower, never docs-sized
+    *     maps. cand is referenced exactly once (a second reference
+    *     would recompute the whole candidate pipeline — no
+    *     ReusedExchange across AQE subtrees, measured on the q28 plan).
     *
     * 2⁻⁶⁰-probability caveat, mirrored nowhere: two DIFFERENT shingles of
     * the SAME doc colliding to one 60-bit hash would make the set
@@ -342,9 +447,10 @@ object Dedup {
                                   threshold: Double): DataFrame =
     cand
       .join(docs.select(col(id).as("id_a"), col("arr").as("__arr_a"),
-        col("sz").as("sz_a")).hint("shuffle_hash"), Seq("id_a"))
+        col("sz").as("sz_a")), Seq("id_a"))
+      .hint("shuffle_hash") // join-2 build side = the candidate-sized stream
       .join(docs.select(col(id).as("id_b"), col("arr").as("__arr_b"),
-        col("sz").as("sz_b")).hint("shuffle_hash"), Seq("id_b"))
+        col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("common",
         sortedCommonCount(col("__arr_a"), col("__arr_b")))
       .withColumn("jaccard",
@@ -580,6 +686,27 @@ object Dedup {
     idOrdering(idType) // loud type validation up-front
     val arrs = docShingleArrays(df, id, text, n).cache()
     val (_, stop) = hotAndStop(arrs, maxDf, maxDf)
+    val mh = minhashSignatureKernel(arrs, id, stop, numHashes, rowsPerBand)
+      .cache()
+    val bandSig = mh.select(col(id),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val cand = bandSig.select(col(id).as("id_a"), col("band"), col("sig"))
+      .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact Jaccard, in-kernel, against the
+    // arrays that rode along in the signature kernel
+    verifyJaccardArrays(mh.select(col(id), col("arr"), col("sz")),
+      id, cand, threshold)
+  }
+
+  /** The per-doc signature kernel of [[minhashLsh]]: stop-filter the
+    * shingle array, compute all minhash slots + band signatures in one
+    * pass, and carry the capped array + size along for the verify stage.
+    * Output: (id, arr, sz, sigs). */
+  private[dedup] def minhashSignatureKernel(arrs: DataFrame, id: String,
+      stop: Array[Long], numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val idType = arrs.schema(id).dataType
     val nBands = numHashes / rowsPerBand
     val params = minhashParams(numHashes).toArray
     val outSchema = StructType(Seq(StructField(id, idType),
@@ -588,7 +715,7 @@ object Dedup {
       StructField("sigs", ArrayType(StringType, containsNull = false))))
     val spark = arrs.sparkSession
     val stopBc = spark.sparkContext.broadcast(stop)
-    val mh = arrs.mapPartitions { rows =>
+    arrs.mapPartitions { rows =>
       val stopA = stopBc.value
       val nh = params.length
       val slots = new Array[Long](nh)
@@ -634,17 +761,7 @@ object Dedup {
             n.toLong, sigs))
         }
       }
-    }(Encoders.row(outSchema)).cache()
-    val bandSig = mh.select(col(id),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
-    val cand = bandSig.select(col(id).as("id_a"), col("band"), col("sig"))
-      .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // verify candidates with exact Jaccard, in-kernel, against the
-    // arrays that rode along in the signature kernel
-    verifyJaccardArrays(mh.select(col(id), col("arr"), col("sz")),
-      id, cand, threshold)
+    }(Encoders.row(outSchema))
   }
 
   /** SimHash fingerprint over distinct tokens, `bits` ≤ 60.

@@ -90,6 +90,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q27/q28 verify joins never hash-build over the docs side") {
+    // the round-5 shape hinted SHUFFLE_HASH on the fat docs relations —
+    // build memory ∝ docs/partition, OOM at sf100 (HashedRelation).
+    // The verify stage may hash-build only over the candidate-sized
+    // stream: statically that means at most ONE ShuffledHashJoin (join 2,
+    // building on the joined candidate stream); join 1 is left to AQE
+    // (broadcast for bounded candidate sets). Two or more static SHJs
+    // mean a docs-side hint crept back in.
+    for (name <- Seq("q27_ngram_jaccard", "q28_minhash_lsh")) {
+      val p = plan(name)
+      assert(countOf(p, "\\(\\d+\\) ShuffledHashJoin") <= 1,
+        s"$name hash-builds over a docs-sized side again:\n$p")
+    }
+  }
+
   test("q73 salted as-of keeps its bounded-task shape (no blowup vs q18)") {
     val p = plan("q73_asof_salted")
     // within-bucket window + carry window + repair join + final sort:

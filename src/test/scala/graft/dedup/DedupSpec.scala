@@ -116,6 +116,67 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.filter(col("shingle") === "terms of service").count() === 0)
   }
 
+  // ---- hotAndStop: chunked two-pass pre-filter vs the exact groupBy ----
+
+  /** The old exact form, kept in the spec as the reference: explode →
+    * groupBy(shingle).count → filter df > b / df > maxDf. */
+  private def hotAndStopReference(arrs: org.apache.spark.sql.DataFrame,
+      bound: Int, maxDf: Int): (Seq[Long], Seq[Long]) = {
+    import org.apache.spark.sql.functions._
+    val b = math.min(bound, maxDf)
+    val rows = arrs.select(explode(col("arr")).as("shingle"))
+      .groupBy("shingle").count().filter(col("count") > b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    (rows.map(_._1).sorted.toSeq,
+      rows.filter(_._2 > maxDf).map(_._1).sorted.toSeq)
+  }
+
+  test("hotAndStop chunked path: finds hot + stop shingles exactly, no full exchange") {
+    // 8k-occurrence stream in one partition, chunkSize 500 -> 16 chunks,
+    // bound 100 >= 16 chunks: the pigeonhole pre-filter path runs (no
+    // fallback) and must match the exact groupBy reference
+    val arrs = Dedup.docShingleArrays(hotCorpus.repartition(1), "doc_id", "text", 3)
+    val (hot, stop) = Dedup.hotAndStop(arrs, 100, 500, chunkSize = 500)
+    val (refHot, refStop) = hotAndStopReference(arrs, 100, 500)
+    assert(hot.toSeq === refHot)
+    assert(stop.toSeq === refStop)
+    assert(hot.nonEmpty, "boilerplate trigrams (df=1000) must be hot at bound 100")
+    assert(stop.toSeq === refHot.intersect(refStop), "df=1000 > maxDf=500 -> also stop")
+  }
+
+  test("hotAndStop classifies hot-but-not-stop vs stop exactly") {
+    // one shingle per doc: X df=10 (> maxDf 5 -> hot+stop), Y df=4
+    // (> bound 3 -> hot only), Z df=2 (neither)
+    val rows = (1 to 10).map(i => (i.toLong, "x x x")) ++
+      (11 to 14).map(i => (i.toLong, "y y y")) ++
+      (15 to 16).map(i => (i.toLong, "z z z"))
+    val arrs = Dedup.docShingleArrays(
+      rows.toDF("doc_id", "text").repartition(1), "doc_id", "text", 3)
+    val (hot, stop) = Dedup.hotAndStop(arrs, 3, 5)
+    val (refHot, refStop) = hotAndStopReference(arrs, 3, 5)
+    assert(hot.toSeq === refHot)
+    assert(stop.toSeq === refStop)
+    assert(hot.length === 2 && stop.length === 1)
+  }
+
+  test("hotAndStop falls back to the exact form when chunks outgrow the bound") {
+    // chunkSize 4 over an 8k stream -> ~2000 chunks > bound 100: the
+    // pre-filter is unsound there, so the implementation must take the
+    // exact groupBy path and still return the right sets
+    val arrs = Dedup.docShingleArrays(hotCorpus.repartition(4), "doc_id", "text", 3)
+    val (hot, stop) = Dedup.hotAndStop(arrs, 100, 500, chunkSize = 4)
+    val (refHot, refStop) = hotAndStopReference(arrs, 100, 500)
+    assert(hot.toSeq === refHot)
+    assert(stop.toSeq === refStop)
+  }
+
+  test("hotAndStop on an empty corpus returns empty sets") {
+    val arrs = Dedup.docShingleArrays(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 3)
+    val (hot, stop) = Dedup.hotAndStop(arrs, 10, 100)
+    assert(hot.isEmpty && stop.isEmpty)
+  }
+
   test("hot-shingle corpus: capped jaccard and LSH emit no false pairs and stay bounded") {
     // 1000 docs sharing only boilerplate: with the cap, candidate fan-out
     // collapses and no pair clears the threshold (their real overlap is 0).
