@@ -13,6 +13,15 @@ import org.apache.spark.sql.SparkSession
   *   - AQE partition coalescing off: the small local shuffles here are
   *     compute-dense (md5/cosine), and coalescing to 1 partition would
   *     serialize that work;
+  *   - AQE runtime SMJ→SHJ conversion ON (`maxShuffledHashJoinLocal
+  *     MapThreshold`): joins whose build side turns out small at runtime
+  *     (dedup verify stages — candidate-sized builds) become hash joins
+  *     with no sort, while genuinely large builds stay sort-merge and
+  *     spill instead of OOMing in `HashedRelation`. This replaces the
+  *     static SHUFFLE_HASH hints the dedup family used to carry: a hint
+  *     cannot see runtime sizes, and the sf100 ladder showed both
+  *     failure modes (docs-sized build OOM, then a 30M-candidate build
+  *     OOM on the q27 verify);
   *   - UTC so timestamp functions agree with the DuckDB oracle.
   */
 object GraftSession {
@@ -27,6 +36,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -253,17 +253,36 @@ object Dedup {
                                 maxDf: Int,
                                 chunkSize: Int = 4 << 20,
                                 maxCandidates: Int = 16 << 20): (Array[Long], Array[Long]) = {
+    val (hot, stop, _) =
+      hotStopFrequent(arrs, bound, maxDf, 0, chunkSize, maxCandidates)
+    (hot, stop)
+  }
+
+  /** [[hotAndStop]] plus the `prefixTopK` APPROXIMATELY most frequent
+    * shingles by chunk-count S (a df proxy: within-chunk repeats) — free
+    * from the same pass, collected before the per-chunk counts are
+    * released. The frequent set feeds PREFIX ORDERING ONLY (any global
+    * per-shingle property is a valid PPJoin total order, see
+    * [[ppjoinDocsKernel]]), so its approximation — S depends on chunk
+    * boundaries, hence on partitioning — can change candidate volume but
+    * never results. Exact-df sets (hot/stop) are unchanged. */
+  private[dedup] def hotStopFrequent(arrs: DataFrame, bound: Int,
+                                maxDf: Int,
+                                prefixTopK: Int,
+                                chunkSize: Int = 4 << 20,
+                                maxCandidates: Int = 16 << 20): (Array[Long], Array[Long], Array[Long]) = {
     val b = math.min(bound, maxDf)
     val spark = arrs.sparkSession
     import spark.implicits._
 
-    def fromRows(rows: Array[(Long, Long)]): (Array[Long], Array[Long]) = {
+    def fromRows(rows: Array[(Long, Long)],
+                 freq: Array[Long]): (Array[Long], Array[Long], Array[Long]) = {
       val hot = rows.map(_._1).sorted
       val stop = rows.filter(_._2 > maxDf).map(_._1).sorted
-      (hot, stop)
+      ((hot ++ freq).distinct.sorted, stop, freq)
     }
 
-    def exactGroupBy(): (Array[Long], Array[Long]) = fromRows(
+    def exactGroupBy(): Array[(Long, Long)] = (
       arrs.select(explode(col("arr")).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > b)
@@ -301,10 +320,14 @@ object Dedup {
       if (k > b) Array.empty
       else chunkCounts.filter(col("s") > b - k)
         .select(col("shingle")).as[Long].collect()
+    val freq: Array[Long] =
+      if (prefixTopK <= 0) Array.empty
+      else chunkCounts.orderBy(col("s").desc, col("shingle"))
+        .limit(prefixTopK).select(col("shingle")).as[Long].collect().sorted
     chunkCounts.unpersist()
 
-    if (k > b || cands.length > maxCandidates) exactGroupBy()
-    else if (cands.isEmpty) (Array.empty[Long], Array.empty[Long])
+    if (k > b || cands.length > maxCandidates) fromRows(exactGroupBy(), freq)
+    else if (cands.isEmpty) fromRows(Array.empty, freq)
     else {
       java.util.Arrays.sort(cands)
       val candBc = spark.sparkContext.broadcast(cands)
@@ -327,7 +350,7 @@ object Dedup {
       candBc.destroy()
       fromRows(cands.indices.iterator
         .filter(ix => dfs(ix) > b)
-        .map(ix => (cands(ix), dfs(ix))).toArray)
+        .map(ix => (cands(ix), dfs(ix))).toArray, freq)
     }
   }
 
@@ -424,15 +447,15 @@ object Dedup {
     *     ∝ docs/partition, and at sf100 (5M docs, 16g) it OOMs in
     *     `HashedRelation` (recorded dead end; the bench's swallowed
     *     failure masqueraded as a 2-5× "regression" until the stage
-    *     probe surfaced the crash). Now: the first join carries no hint,
-    *     so AQE broadcasts the candidate side (small by construction —
-    *     candidate boundedness is the operator family's own contract)
-    *     and the docs never move; the second join hints SHUFFLE_HASH on
-    *     the JOINED candidate stream, so its hash build is ∝ candidates,
-    *     not docs, and the docs side streams through its exchange
-    *     without sorting. Adversarially huge candidate sets degrade
-    *     join 1 to sort-merge with spill — slower, never docs-sized
-    *     maps. cand is referenced exactly once (a second reference
+    *     probe surfaced the crash). A static SHUFFLE_HASH hint on the
+    *     joined candidate stream fixed q28 and then OOMed on q27's
+    *     30M-candidate sf100 verify — a hint cannot see runtime sizes.
+    *     Both joins are now UNHINTED: AQE broadcasts the candidate side
+    *     of join 1 when it is small (docs never move), and the session
+    *     enables runtime SMJ→SHJ conversion (GraftSession's
+    *     `maxShuffledHashJoinLocalMapThreshold`), so small builds hash
+    *     with no sort while genuinely large ones stay sort-merge and
+    *     SPILL. cand is referenced exactly once (a second reference
     *     would recompute the whole candidate pipeline — no
     *     ReusedExchange across AQE subtrees, measured on the q28 plan).
     *
@@ -448,7 +471,6 @@ object Dedup {
     cand
       .join(docs.select(col(id).as("id_a"), col("arr").as("__arr_a"),
         col("sz").as("sz_a")), Seq("id_a"))
-      .hint("shuffle_hash") // join-2 build side = the candidate-sized stream
       .join(docs.select(col(id).as("id_b"), col("arr").as("__arr_b"),
         col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("common",
@@ -583,15 +605,29 @@ object Dedup {
     * per-posting-list fan-out bounded under adversarial skew.
     * `prefixHotDf` bounds COLD prefix posting lists: shingles with
     * df > prefixHotDf are ordered LAST per doc, so they enter prefixes
-    * only for docs that are mostly hot phrases. */
+    * only for docs that are mostly hot phrases. `prefixTopK` (default
+    * off) additionally deprioritizes the approximately most frequent
+    * shingles (chunk-count proxy, free from the df pass) — ordering is
+    * pruning-only, so results are exact for ANY global order (the
+    * frequent set may vary with partitioning; candidate volume does,
+    * results never). Measured dead end on the flat-df synthetic corpus
+    * (sf100: 30.4M candidates for 306k true pairs, max df < 512 so the
+    * binary order degenerates to hash order): top-1M deprioritization
+    * removed only 4% of candidates — the pair volume lives in tens of
+    * millions of df 2-10 posting lists, not in a frequent head. Keep 0
+    * unless the corpus is zipfian (natural language), where the head
+    * carries the volume. */
   def ngramJaccard(df: DataFrame, id: String, text: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = DefaultMaxDf,
-                   prefixHotDf: Int = 512): DataFrame = {
+                   prefixHotDf: Int = 512,
+                   prefixTopK: Int = 0): DataFrame = {
     val idType = df.schema(id).dataType
     idOrdering(idType) // loud type validation up-front, both kernel paths
     val arrs = docShingleArrays(df, id, text, n).cache()
-    val (hot, stop) = hotAndStop(arrs, prefixHotDf, maxDf)
+    val (hot, stop) = hotStopFrequent(arrs, prefixHotDf, maxDf, prefixTopK) match {
+      case (order, stopSet, _) => (order, stopSet)
+    }
     val docs = ppjoinDocsKernel(arrs, id, threshold, hot, stop)
     val prefixed = docs.select(col(id).as("__id"), col("sz"),
       posexplode(col("pre")).as(Seq("pos", "shingle")))
@@ -688,31 +724,113 @@ object Dedup {
     val (_, stop) = hotAndStop(arrs, maxDf, maxDf)
     val mh = minhashSignatureKernel(arrs, id, stop, numHashes, rowsPerBand)
       .cache()
-    val bandSig = mh.select(col(id),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
-    val cand = bandSig.select(col(id).as("id_a"), col("band"), col("sig"))
-      .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = bandedCandidates(mh, id, numHashes, rowsPerBand)
     // verify candidates with exact Jaccard, in-kernel, against the
     // arrays that rode along in the signature kernel
     verifyJaccardArrays(mh.select(col(id), col("arr"), col("sz")),
       id, cand, threshold)
   }
 
+  /** LSH band-bucket candidate pairs from [[minhashSignatureKernel]]
+    * output — IN the bucket kernel, the `simhashPairs` idiom: one row per
+    * (band, band signature) per doc shuffles into its bucket carrying
+    * the doc's full slot vector, and each bucket emits its pairs
+    * directly, keeping a pair only in the LOWEST band where the two
+    * signatures agree (checked exactly from the slots riding along).
+    * Output pairs are unique by construction, so the old shape's
+    * two-sided self-join AND its full-output `distinct()` exchange both
+    * disappear — at sf100 that stage was 46 s of q28, dominated by the
+    * join build + the pair-stream exchange.
+    *
+    * Grouping keys are the exact band signature strings (no hashing, no
+    * collision handling); `id_a < id_b` by [[idOrdering]], matching the
+    * join form bit for bit. */
+  private[dedup] def bandedCandidates(mh: DataFrame, id: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val idType = mh.schema(id).dataType
+    val ord = idOrdering(idType)
+    val nBands = numHashes / rowsPerBand
+    val spark = mh.sparkSession
+    import spark.implicits._
+    val bandedSchema = StructType(Seq(StructField("key", StringType),
+      StructField(id, idType),
+      StructField("slots", ArrayType(IntegerType, containsNull = false))))
+    val banded = mh.select(col(id), col("slots")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val slots = r.get(1) match {
+          case a: Array[Int] => a
+          case s: scala.collection.Seq[_] => s.iterator
+            .map(_.asInstanceOf[Int]).toArray
+        }
+        (0 until nBands).iterator.map { b =>
+          val sb = new java.lang.StringBuilder
+          sb.append(b)
+          var s = b * rowsPerBand
+          while (s < (b + 1) * rowsPerBand) {
+            sb.append('|').append(slots(s)); s += 1
+          }
+          Row(sb.toString, r.get(0), slots)
+        }
+      }
+    }(Encoders.row(bandedSchema))
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType)))
+    banded.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val band = key.substring(0, key.indexOf('|')).toInt
+        val rows = it.toArray
+        val ids = new Array[Any](rows.length)
+        val slots = new Array[Array[Int]](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          ids(i) = rows(i).get(1)
+          slots(i) = rows(i).get(2) match {
+            case a: Array[Int] => a
+            case s: scala.collection.Seq[_] => s.iterator
+              .map(_.asInstanceOf[Int]).toArray
+          }
+          i += 1
+        }
+        def agreeOnLowerBand(x: Array[Int], y: Array[Int]): Boolean = {
+          var b = 0
+          while (b < band) {
+            var s = b * rowsPerBand
+            var all = true
+            while (all && s < (b + 1) * rowsPerBand) {
+              if (x(s) != y(s)) all = false
+              s += 1
+            }
+            if (all) return true
+            b += 1
+          }
+          false
+        }
+        for {
+          a <- rows.indices.iterator
+          b <- (a + 1 until rows.length).iterator
+          if ord.compare(ids(a), ids(b)) != 0
+          if !agreeOnLowerBand(slots(a), slots(b))
+        } yield {
+          if (ord.compare(ids(a), ids(b)) < 0) Row(ids(a), ids(b))
+          else Row(ids(b), ids(a))
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** The per-doc signature kernel of [[minhashLsh]]: stop-filter the
     * shingle array, compute all minhash slots + band signatures in one
     * pass, and carry the capped array + size along for the verify stage.
-    * Output: (id, arr, sz, sigs). */
+    * Output: (id, arr, sz, slots) — slot values fit Int exactly (mod
+    * P = 2^31−1); band signatures are derived from consecutive
+    * `rowsPerBand` slot groups by [[bandedCandidates]]. */
   private[dedup] def minhashSignatureKernel(arrs: DataFrame, id: String,
       stop: Array[Long], numHashes: Int, rowsPerBand: Int): DataFrame = {
     val idType = arrs.schema(id).dataType
-    val nBands = numHashes / rowsPerBand
     val params = minhashParams(numHashes).toArray
     val outSchema = StructType(Seq(StructField(id, idType),
       StructField("arr", ArrayType(LongType, containsNull = false)),
       StructField("sz", LongType),
-      StructField("sigs", ArrayType(StringType, containsNull = false))))
+      StructField("slots", ArrayType(IntegerType, containsNull = false))))
     val spark = arrs.sparkSession
     val stopBc = spark.sparkContext.broadcast(stop)
     arrs.mapPartitions { rows =>
@@ -745,20 +863,12 @@ object Dedup {
             }
             i += 1
           }
-          // band signature = the band's minhash slots joined in seed order
-          val sigs = new Array[String](nBands)
-          var b = 0
-          while (b < nBands) {
-            val sb = new java.lang.StringBuilder
-            var s = b * rowsPerBand
-            while (s < (b + 1) * rowsPerBand) {
-              if (s > b * rowsPerBand) sb.append('|')
-              sb.append(slots(s)); s += 1
-            }
-            sigs(b) = sb.toString; b += 1
-          }
+          // slot values are mod P = 2^31-1, so they fit Int exactly
+          val slotsOut = new Array[Int](nh)
+          i = 0
+          while (i < nh) { slotsOut(i) = slots(i).toInt; i += 1 }
           Iterator.single(Row(r.get(0), java.util.Arrays.copyOf(arr, n),
-            n.toLong, sigs))
+            n.toLong, slotsOut))
         }
       }
     }(Encoders.row(outSchema))

@@ -39,10 +39,13 @@ object StageProbe {
 
     which match {
       case "q27" =>
-        val (hot, stop) = timed("hotAndStop") {
-          Dedup.hotAndStop(arrs, 512, Dedup.DefaultMaxDf)
+        val (hot, stop) = timed("hotStopFrequent") {
+          val (order, stopSet, freqSet) = Dedup.hotStopFrequent(arrs, 512,
+            Dedup.DefaultMaxDf, sys.env.getOrElse("PROBE_TOPK", "0").toInt)
+          println(s"[probe]   frequent=${freqSet.length}")
+          (order, stopSet)
         }
-        println(s"[probe]   hot=${hot.length} stop=${stop.length}")
+        println(s"[probe]   order=${hot.length} stop=${stop.length}")
         val docs = Dedup.ppjoinDocsKernel(arrs, id, threshold, hot, stop)
           .persist(StorageLevel.MEMORY_AND_DISK)
         timed("ppjoinDocsKernel") { docs.count() }
@@ -65,15 +68,9 @@ object StageProbe {
             numHashes = 12, rowsPerBand = 3)
           .persist(StorageLevel.MEMORY_AND_DISK)
         timed("minhashSignatureKernel") { mh.count() }
-        val bandSig = mh.select(col(id),
-          posexplode(col("sigs")).as(Seq("band", "sig")))
-        val cand = bandSig.select(col(id).as("id_a"), col("band"), col("sig"))
-          .join(bandSig.select(col(id).as("id_b"), col("band"), col("sig")),
-            Seq("band", "sig"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+        val cand = Dedup.bandedCandidates(mh, id, numHashes = 12, rowsPerBand = 3)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        println(s"[probe]   candidates=${timed("band join + distinct") { cand.count() }}")
+        println(s"[probe]   candidates=${timed("banded candidates kernel") { cand.count() }}")
         val out = Dedup.verifyJaccardArrays(
           mh.select(col(id), col("arr"), col("sz")), id, cand, threshold)
         println(s"[probe]   pairs=${timed("verifyJaccardArrays") { out.count() }}")

@@ -177,6 +177,44 @@ class DedupSpec extends SparkSpecBase {
     assert(hot.isEmpty && stop.isEmpty)
   }
 
+  test("bandedCandidates matches the band self-join witness, pairs unique by construction") {
+    // corpus with exact dups (same slots in every band -> candidates from
+    // band 0 only), near dups (some bands agree), and unrelated docs
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup
+      (4L, "totally different text with other words inside entirely"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta")  // exact dup of 1
+    ).toDF("doc_id", "text")
+    val arrs = Dedup.docShingleArrays(corpus, "doc_id", "text", 3)
+    val mh = Dedup.minhashSignatureKernel(arrs, "doc_id", Array.empty,
+      numHashes = 12, rowsPerBand = 3)
+    val got = Dedup.bandedCandidates(mh, "doc_id", 12, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // witness: per band, bucket docs by the band's slot triple, emit all
+    // in-bucket pairs, union + distinct — the old self-join shape
+    val docs = mh.collect().map { r =>
+      val slots = r.getSeq[Int](3).toArray
+      (r.getLong(0), slots)
+    }
+    val expected = (for {
+      b <- 0 until 4
+      grouped = docs.groupBy(_._2.slice(b * 3, b * 3 + 3).toSeq)
+      bucket <- grouped.values
+      i <- bucket.indices; j <- (i + 1) until bucket.length
+    } yield {
+      val (x, y) = (bucket(i)._1, bucket(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).distinct.sorted
+    assert(got.length === got.distinct.length,
+      "kernel emitted a duplicate pair (lowest-band dedup broke)")
+    assert(got.sorted.toSeq === expected)
+    // the exact-dup cluster {1,2,5} is fully paired
+    val gotSet = got.toSet
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(gotSet))
+  }
+
   test("hot-shingle corpus: capped jaccard and LSH emit no false pairs and stay bounded") {
     // 1000 docs sharing only boilerplate: with the cap, candidate fan-out
     // collapses and no pair clears the threshold (their real overlap is 0).

@@ -121,4 +121,46 @@ class LiveLoopSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("RocksDB state holds per-key at 200-symbol cardinality across batches") {
+    // the reference runs one loop per symbol; here one store holds all
+    // symbols' (forming bar + history) — the invariant that must hold as
+    // keys multiply: EVERY key closes exactly minutes-1 bars and fires
+    // its decision on every bar from the lookback on, with a mid-bar
+    // batch split. graft.tools.LiveLoopSoak drives the same invariant at
+    // 1000+ keys / 1.8M ticks.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = 1700000000000L - (1700000000000L % 60000L)
+    val (nKeys, minutes) = (200, 6)
+    val ticks = for {
+      s <- 0 until (60 * minutes); k <- 0 until nKeys
+    } yield IncrementalBars.Tick(s"sym_$k", t0 + s * 1000L, 100.0 + s * 0.01 + k, 1.0)
+    val stream = MemoryStream[IncrementalBars.Tick]
+    val q = LiveLoop.run(stream.toDS(), 60000L, new SmaCross(3))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("live_loop_many").start()
+    try {
+      val (a, b) = ticks.splitAt(ticks.length / 2 + nKeys / 2) // mid-bar, mid-second
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val events = spark.table("live_loop_many")
+      assert(events.select("key").distinct().count() === nKeys)
+      val barsPerKey = events.filter($"kind" === "bar").groupBy("key")
+        .count().select("count").distinct().as[Long].collect().toSeq
+      assert(barsPerKey === Seq(minutes - 1L), s"uneven bar counts: $barsPerKey")
+      val decPerKey = events.filter($"kind" === "decision").groupBy("key")
+        .count().select("count").distinct().as[Long].collect().toSeq
+      // SmaCross(3) fires from the 3rd closed bar on, rising closes -> BUY
+      assert(decPerKey === Seq(minutes - 3L), s"uneven decision counts: $decPerKey")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
