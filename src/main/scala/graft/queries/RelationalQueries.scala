@@ -347,6 +347,55 @@ object RelationalQueries extends QueryPack {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
         FROM orders WHERE o_custkey <= 50
         ORDER BY o_custkey, order_seq"""),
-      "Running cumulative sums (SURVEY W9/A20 family)")
+      "Running cumulative sums (SURVEY W9/A20 family)"),
+
+    // F15: currency display formatting, pure codegen'd built-ins
+    // (format_number + translate + map-literal symbol lookup). The
+    // currency is derived deterministically from the key so both engines
+    // exercise every style family (EN / DE / CH / identity-symbol /
+    // FMT_NONE fallback) and the sign-dropping abs() on real negatives
+    // (c_acctbal < 0 exists in TPC-H customers).
+    "q77_currency_format" -> QueryDef(
+      (s, dir) => {
+        val codes = Seq("USD", "EUR", "GBP", "JPY", "CHF", "SEK", "BRL", "ZZZ")
+        Tables.customer(s, dir)
+          .withColumn("currency",
+            element_at(typedlit(codes), (pmod(col("c_custkey"), lit(8)) + 1).cast("int")))
+          .select(
+            col("c_custkey"),
+            col("currency"),
+            graft.functions.CurrencyFormat.symbol(col("currency")),
+            graft.functions.CurrencyFormat
+              .formatCurrency(col("c_acctbal"), col("currency")))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH c AS (
+          SELECT c_custkey, c_acctbal,
+            (['USD','EUR','GBP','JPY','CHF','SEK','BRL','ZZZ'])[(c_custkey % 8)::INT + 1] AS currency
+          FROM customer),
+        f AS (
+          SELECT c_custkey, currency, c_acctbal,
+            CASE currency
+              WHEN 'USD' THEN '$' WHEN 'EUR' THEN '€' WHEN 'GBP' THEN '£'
+              WHEN 'JPY' THEN '¥' WHEN 'SEK' THEN 'kr' WHEN 'BRL' THEN 'R$'
+              ELSE currency END AS symbol,
+            -- DuckDB's format() refuses thousands grouping on floats:
+            -- group the integer cents instead (c_acctbal is 2-dp).
+            format('{:,}', (round(abs(c_acctbal) * 100)::BIGINT // 100))
+              || '.' || lpad((round(abs(c_acctbal) * 100)::BIGINT % 100)::VARCHAR, 2, '0') AS base
+          FROM c),
+        g AS (
+          SELECT c_custkey, currency, symbol,
+            CASE
+              WHEN currency IN ('EUR','BRL') THEN translate(base, ',.', '.,')
+              WHEN currency = 'CHF' THEN replace(base, ',', chr(39))
+              WHEN currency IN ('USD','GBP','JPY') THEN base
+              ELSE replace(base, ',', '') END AS styled
+          FROM f)
+        SELECT c_custkey, currency, symbol,
+          CASE WHEN symbol = currency THEN currency || ' ' || styled
+               ELSE symbol || styled END AS formatted
+        FROM g ORDER BY c_custkey"""),
+      "Currency display formatting, all style families (SURVEY F15)")
   )
 }

@@ -1,7 +1,7 @@
 package graft.windows
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.ops.GlobalRank
 import org.apache.spark.sql.functions._
 
 /** Scenario splitters beyond chronological blocks (SURVEY §7 step 6):
@@ -68,19 +68,39 @@ object Splitters {
       .groupBy((keys.map(col) :+
         (col(tsMs) - col(tsMs) % periodMs).as("bucket_ms")): _*)
       .agg((max(col(value)) - min(col(value))).as("__range"))
-    val g = Window.partitionBy(keys.map(col): _*)
-    val ratio = col("__range") / avg(col("__range")).over(g)
+
+    // Per-key mean via aggregate + equi-join, NOT avg().over(partitionBy
+    // (keys)): a caller with a constant key (q55 buckets one synthetic
+    // "ALL" symbol) would have the foldable partition spec optimized
+    // away and the whole series moved to ONE task — the unpartitioned-
+    // window trap. The aggregate side is one row per key; AQE broadcasts
+    // the join.
+    val avgs = periods.groupBy(keys.map(col): _*)
+      .agg(avg(col("__range")).as("__avg"))
+    val ratio = col("__range") / col("__avg")
     val regime = thresholds.zip(regimeNames.init)
       .foldRight(lit(regimeNames.last)) { case ((t, name), rest) =>
         when(ratio < t, name).otherwise(rest)
       }
-    // islands-and-gaps: contiguous kept buckets share (bucket#/period − rank)
-    val ord = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket_ms"))
-    periods
+    val kept = periods.join(avgs, keys)
       .withColumn("__regime", regime)
       .filter(col("__regime").isin(targetRegimes: _*))
+
+    // islands-and-gaps: contiguous kept buckets share (bucket#/period −
+    // per-key rank). The rank comes from the two-pass GlobalRank over
+    // (keys…, bucket_ms) — a range-partitioned distributed sort, so it
+    // survives ANY key distribution (real symbols, one hot key, or a
+    // constant) with no single-task window; per-key numbering is then
+    // rank − min(rank per key) + 1, with the min-rank side one row per
+    // key (broadcast join).
+    val order = (keys.map(col) :+ col("bucket_ms")).map(_.asc)
+    val ranked = GlobalRank.withRowNumber(kept, order, "__rank")
+    val offsets = ranked.groupBy(keys.map(col): _*)
+      .agg(min(col("__rank")).as("__rank0"))
+    ranked.join(offsets, keys)
       .withColumn("__island",
-        (col("bucket_ms") / periodMs).cast("long") - row_number().over(ord))
+        (col("bucket_ms") / periodMs).cast("long")
+          - (col("__rank") - col("__rank0") + 1L))
       .groupBy((keys.map(col) :+ col("__island")): _*)
       .agg(min(col("bucket_ms")).as("window_start_ms"),
         (max(col("bucket_ms")) + periodMs).as("window_end_ms"),
