@@ -157,6 +157,41 @@ object Dedup {
     * Token semantics mirror `split(text, " ")` + windowed `concat_ws`:
     * limit −1 keeps trailing empties, docs with < n tokens (or null
     * text) emit nothing — ABSENT, exactly like the exploded form. */
+  /** Per-doc kernel of [[docShingleArrays]], shared with the streaming
+    * dedup operators: sorted-distinct 60-bit md5 shingle hashes of one
+    * text, or an empty array for docs shorter than n tokens. Byte-level
+    * parity with the batch kernel and the DuckDB oracle (first 15 md5
+    * hex chars as a 60-bit int). */
+  private[graft] def shingleHashesOf(text: String, n: Int,
+      md: java.security.MessageDigest): Array[Long] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val toks = text.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) Array.emptyLongArray
+    else {
+      val hs = new Array[Long](m)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k)); k += 1
+        }
+        val d = md.digest(sb.toString.getBytes(utf8))
+        var v = 0L; var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        hs(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var w = 0; var j = 1
+      while (j < m) { if (hs(j) != hs(w)) { w += 1; hs(w) = hs(j) }; j += 1 }
+      java.util.Arrays.copyOf(hs, w + 1)
+    }
+  }
+
   private[dedup] def docShingleArrays(df: DataFrame, id: String, text: String,
                                       n: Int): DataFrame = {
     val idType = df.schema(id).dataType
@@ -164,35 +199,12 @@ object Dedup {
       StructField("arr", ArrayType(LongType, containsNull = false))))
     df.select(col(id), col(text)).mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val utf8 = java.nio.charset.StandardCharsets.UTF_8
       rows.flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
         else {
-          val toks = r.getString(1).split(" ", -1)
-          val m = toks.length - n + 1
-          if (m <= 0) Iterator.empty
-          else {
-            val hs = new Array[Long](m)
-            val sb = new java.lang.StringBuilder
-            var i = 0
-            while (i < m) {
-              sb.setLength(0)
-              var k = 0
-              while (k < n) {
-                if (k > 0) sb.append(' ')
-                sb.append(toks(i + k)); k += 1
-              }
-              val d = md.digest(sb.toString.getBytes(utf8))
-              var v = 0L; var b = 0
-              while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-              hs(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
-              i += 1
-            }
-            java.util.Arrays.sort(hs)
-            var w = 0; var j = 1
-            while (j < m) { if (hs(j) != hs(w)) { w += 1; hs(w) = hs(j) }; j += 1 }
-            Iterator.single(Row(r.get(0), java.util.Arrays.copyOf(hs, w + 1)))
-          }
+          val hs = shingleHashesOf(r.getString(1), n, md)
+          if (hs.isEmpty) Iterator.empty
+          else Iterator.single(Row(r.get(0), hs))
         }
       }
     }(Encoders.row(outSchema))
@@ -823,6 +835,32 @@ object Dedup {
     * Output: (id, arr, sz, slots) — slot values fit Int exactly (mod
     * P = 2^31−1); band signatures are derived from consecutive
     * `rowsPerBand` slot groups by [[bandedCandidates]]. */
+  /** Per-doc kernel of [[minhashSignatureKernel]], shared with the
+    * streaming near-dup operator: MinHash slots over the first `n`
+    * entries of a (stop-filtered) shingle-hash array. Slot values are
+    * mod P = 2^31−1, so they fit Int exactly. */
+  private[graft] def minhashSlotsOf(arr: Array[Long], n: Int,
+      params: Array[(Long, Long)]): Array[Int] = {
+    val nh = params.length
+    val slots = new Array[Long](nh)
+    java.util.Arrays.fill(slots, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr(i) % MinhashP
+      var s = 0
+      while (s < nh) {
+        val hv = (h * params(s)._1 + params(s)._2) % MinhashP
+        if (hv < slots(s)) slots(s) = hv
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](nh)
+    i = 0
+    while (i < nh) { out(i) = slots(i).toInt; i += 1 }
+    out
+  }
+
   private[dedup] def minhashSignatureKernel(arrs: DataFrame, id: String,
       stop: Array[Long], numHashes: Int, rowsPerBand: Int): DataFrame = {
     val idType = arrs.schema(id).dataType
@@ -835,8 +873,6 @@ object Dedup {
     val stopBc = spark.sparkContext.broadcast(stop)
     arrs.mapPartitions { rows =>
       val stopA = stopBc.value
-      val nh = params.length
-      val slots = new Array[Long](nh)
       rows.flatMap { r =>
         val raw = longArray(r.get(1))
         val n0 = raw.length
@@ -850,26 +886,8 @@ object Dedup {
           i += 1
         }
         if (n == 0) Iterator.empty
-        else {
-          java.util.Arrays.fill(slots, Long.MaxValue)
-          i = 0
-          while (i < n) {
-            val h = arr(i) % MinhashP
-            var s = 0
-            while (s < nh) {
-              val hv = (h * params(s)._1 + params(s)._2) % MinhashP
-              if (hv < slots(s)) slots(s) = hv
-              s += 1
-            }
-            i += 1
-          }
-          // slot values are mod P = 2^31-1, so they fit Int exactly
-          val slotsOut = new Array[Int](nh)
-          i = 0
-          while (i < nh) { slotsOut(i) = slots(i).toInt; i += 1 }
-          Iterator.single(Row(r.get(0), java.util.Arrays.copyOf(arr, n),
-            n.toLong, slotsOut))
-        }
+        else Iterator.single(Row(r.get(0), java.util.Arrays.copyOf(arr, n),
+          n.toLong, minhashSlotsOf(arr, n, params)))
       }
     }(Encoders.row(outSchema))
   }
