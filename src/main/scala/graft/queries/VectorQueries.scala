@@ -141,6 +141,70 @@ object VectorQueries extends QueryPack {
         FROM r WHERE rank <= 3 ORDER BY id_a, rank"""),
       "IVF coarse-quantizer ANN top-k (oracle-exact, md5-seeded centroids)"),
 
+    // IVF-PQ: same cell pruning as q71, but candidates score against
+    // product-quantized codes (64 floats -> 16 5-bit codes) via an
+    // integer-quantized ADC table; the ADC shortlist (top-32 per cell) then
+    // pays an exact-cosine refine. Integer argmin/sum/shortlist + the
+    // q71 exact-cosine recipe keep the whole path oracle-exact.
+    "q78_ivf_pq" -> QueryDef(
+      (s, dir) => Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3, cells = 0, probes = 4)
+        .orderBy(col("id_a"), col("rank")),
+      Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nc AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS nc FROM p),
+        comp AS (SELECT c.range::INT AS c, j.range::INT AS j,
+            ('0x' || substr(md5('ivf:' || c.range::VARCHAR || ':'
+               || j.range::VARCHAR), 1, 8))::BIGINT
+              / 2147483648.0 - 1.0 AS comp
+          FROM range(65536) c, range(64) j, nc WHERE c.range < nc.nc),
+        cent AS (SELECT c, list(comp ORDER BY j) AS cv FROM comp GROUP BY c),
+        dots AS (SELECT p.vec_id, cent.c,
+            floor(list_dot_product(p.v, cent.cv) * 1e6)::BIGINT AS q
+          FROM p, cent),
+        ord AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY q DESC, c) AS rn FROM dots),
+        members AS (SELECT vec_id, c FROM ord WHERE rn = 1),
+        probes AS (SELECT vec_id, c FROM ord WHERE rn <= 4),
+        smp AS (SELECT v, row_number() OVER (
+            ORDER BY md5('pqs:' || vec_id::VARCHAR), vec_id) AS rn FROM p),
+        cwv AS (SELECT (rn - 1)::INT AS c, v FROM smp WHERE rn <= 32),
+        pqc AS (SELECT s.range::INT AS s, cwv.c, j.range::INT AS j,
+            cwv.v[s.range * 4 + j.range + 1] AS comp
+          FROM range(16) s, range(4) j, cwv),
+        enc AS (SELECT p.vec_id, pqc.s, pqc.c,
+            sum(floor((p.v[pqc.s * 4 + pqc.j + 1] - pqc.comp)
+                    * (p.v[pqc.s * 4 + pqc.j + 1] - pqc.comp) * 1e9)::BIGINT) AS dq
+          FROM p, pqc GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY dq ASC, c ASC) AS rn FROM enc) WHERE rn = 1),
+        cwl AS (SELECT s, c, list(comp ORDER BY j) AS cv FROM pqc GROUP BY s, c),
+        adc AS (SELECT p.vec_id AS id_a, cwl.s, cwl.c,
+            floor(list_dot_product(p.v[cwl.s * 4 + 1 : cwl.s * 4 + 4], cwl.cv)
+                  * 1e6)::BIGINT AS t
+          FROM p, cwl),
+        cand AS (SELECT pr.vec_id AS id_a, m.vec_id AS id_b, m.c AS cell
+          FROM probes pr JOIN members m ON pr.c = m.c
+          WHERE pr.vec_id <> m.vec_id),
+        scored AS (SELECT cand.id_a, cand.id_b, cand.cell,
+            sum(adc.t)::BIGINT AS score_q
+          FROM cand
+          JOIN codes ON codes.vec_id = cand.id_b
+          JOIN adc ON adc.id_a = cand.id_a AND adc.s = codes.s AND adc.c = codes.c
+          GROUP BY 1, 2, 3),
+        short AS (SELECT id_a, id_b FROM (
+            SELECT *, row_number() OVER (PARTITION BY id_a, cell
+              ORDER BY score_q DESC, id_b) AS rp FROM scored) WHERE rp <= 32),
+        ex AS (SELECT short.id_a, short.id_b,
+            list_cosine_similarity(a.v, b.v) AS cosine
+          FROM short JOIN p a ON short.id_a = a.vec_id
+                     JOIN p b ON short.id_b = b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                ORDER BY cosine DESC, id_b) AS rank FROM ex)
+        SELECT id_a, id_b, rank, round(cosine, 6) AS cosine
+        FROM r WHERE rank <= 3 ORDER BY id_a, rank"""),
+      "IVF-PQ compressed-scan ANN top-k (oracle-exact integer ADC)"),
+
     "q35_label_centroids" -> QueryDef(
       (s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir), "label",
           "embedding")

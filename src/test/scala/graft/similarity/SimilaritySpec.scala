@@ -160,6 +160,50 @@ class SimilaritySpec extends SparkSpecBase {
     assert(trained > 0.5, s"trained recall $trained too low")
   }
 
+  test("ivfPqTopK: recall vs brute force on real embeddings (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b")).toMap
+    val pq = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 3,
+        cells = 16, probes = 4)
+      .collect().groupBy(_.getAs[Long]("id_a"))
+      .view.mapValues(_.map(_.getAs[Long]("id_b")).toSet).toMap
+    // the true nearest neighbor should usually survive the IVF pruning,
+    // the PQ shortlist, AND the exact refine into the top-3. Pure-ADC
+    // ranking measured 0.385 here; the exact-cosine refine of the ADC
+    // shortlist recovers to the exact-scoring IVF bound (~0.54 at these
+    // cells/probes — the loss is pruning, not quantization).
+    // Deterministic seeds -> a fixed value; bound set under it.
+    val hits = exact.count { case (a, b) => pq.get(a).exists(_.contains(b)) }
+    assert(hits.toDouble / exact.size > 0.5,
+      s"recall@3 ${hits.toDouble / exact.size} too low")
+    // shape: ranks 1..<=3 per query, never self
+    val rows = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 3,
+        cells = 16, probes = 4).collect()
+    assert(rows.forall(r => r.getAs[Long]("id_a") != r.getAs[Long]("id_b")))
+    assert(rows.groupBy(_.getAs[Long]("id_a")).values
+      .forall(g => g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to g.length)))
+  }
+
+  test("ivfPqTopK: exact-duplicate vectors share codes and find each other first") {
+    val dup = Seq.tabulate(64)(j => math.sin(j * 0.7).toFloat)
+    val rows = (1L to 3L).map(i => (i, dup)) ++ (4L to 40L).map { i =>
+      (i, Seq.tabulate(64)(j => (math.cos(i * 31 + j * 1.3) * 2).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(df, "vec_id", "embedding", 2, cells = 4, probes = 2)
+      .collect().filter(_.getAs[Long]("id_a") <= 3L)
+      .groupBy(_.getAs[Long]("id_a"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("id_b")).toList).toMap
+    // identical vectors -> identical cells AND identical codes -> maximal
+    // equal ADC scores; ties break by id, so each of 1..3 reports the
+    // other two as its top-2
+    assert(out(1L) === List(2L, 3L))
+    assert(out(2L) === List(1L, 3L))
+    assert(out(3L) === List(1L, 2L))
+  }
+
   test("labelCentroids: positional means per label") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
       .toDF("label", "embedding")
