@@ -172,19 +172,31 @@ object Workers {
     }
   }
 
-  /** The CORE registry (X4 user-namespace discovery is a classpath
-    * concern, out of scope for now). */
+  /** The CORE registry. USER-namespace workers resolve by PATH through
+    * [[PluginLoader]] — see [[resolveInstances]]'s ref normalization. */
   val registry: Map[String, Worker] = Seq(
     RsiWorker, BollingerWorker, MacdWorker, ObvWorker, MaTrendWorker, AtrWorker)
     .map(w => w.name -> w).toMap
 
   /** Resolve + validate a set of worker instances fail-fast, before any
-    * data load — returns (instanceName, worker, resolvedConfig). */
-  def resolveInstances(instances: Map[String, (String, Map[String, String])])
-      : Seq[(String, Worker, Map[String, String])] =
-    instances.toSeq.sortBy(_._1).map { case (inst, (workerName, cfg)) =>
-      val w = registry.getOrElse(workerName,
-        throw new IllegalArgumentException(s"unknown worker type '$workerName'"))
+    * data load — returns (instanceName, worker, resolvedConfig).
+    *
+    * Worker-ref normalization (the reference orchestrator's contract,
+    * `worker_factory.py` path refs vs registry names): a ref ending in
+    * `.scala` is a USER-namespace source file, compiled and loaded
+    * through [[PluginLoader]] (hot reload included — an edited file
+    * resolves to its new version on the next call); anything else must
+    * be a CORE registry name. */
+  def resolveInstances(instances: Map[String, (String, Map[String, String])],
+                       basePath: Option[java.nio.file.Path] = None)
+      : Seq[(String, Worker, Map[String, String])] = {
+    lazy val loader = new PluginLoader()
+    instances.toSeq.sortBy(_._1).map { case (inst, (ref, cfg)) =>
+      val w =
+        if (ref.endsWith(".scala")) loader.loadPathWorker(ref, basePath)
+        else registry.getOrElse(ref,
+          throw new IllegalArgumentException(s"unknown worker type '$ref'"))
       (inst, w, w.validate(cfg))
     }
+  }
 }

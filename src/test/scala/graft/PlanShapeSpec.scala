@@ -83,7 +83,8 @@ class PlanShapeSpec extends SparkSpecBase {
     // key is ever dropped — check them all at the logical level
     for (name <- Seq("q26_dedup_exact", "q27_ngram_jaccard", "q28_minhash_lsh",
       "q30_simhash_pairs", "q33_cosine_topk", "q44_cosine_topk_blocked",
-      "q70_embedding_neardup", "q34_lsh_topk", "q71_ivf_ann")) {
+      "q70_embedding_neardup", "q34_lsh_topk", "q71_ivf_ann", "q78_ivf_pq",
+      "q77_currency_format")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")

@@ -28,6 +28,33 @@ class WorkersSpec extends SparkSpecBase {
       Workers.resolveInstances(Map("x" -> ("CORE/nope", Map.empty))))
   }
 
+  test("resolveInstances normalizes path refs through the plugin loader") {
+    val dir = java.nio.file.Files.createTempDirectory("workers-user-")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("custom.scala"),
+      """import graft.workers.Workers._
+        |import org.apache.spark.sql.DataFrame
+        |class CustomWorker extends Worker {
+        |  val name = "USER/custom"
+        |  val params = Seq(ParamDef("width", IntParam, "5", min = Some(1)))
+        |  def warmupBars(c: Map[String, String]): Int = c("width").toInt
+        |  def transform(df: DataFrame, keys: Seq[String], order: Seq[String],
+        |                close: String, volume: String,
+        |                c: Map[String, String]): DataFrame = df
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    // one CORE ref and one USER path ref resolve side by side; the user
+    // worker's typed params validate exactly like a CORE worker's
+    val resolved = Workers.resolveInstances(Map(
+      "rsi" -> ("CORE/rsi", Map.empty),
+      "mine" -> ("custom.scala", Map("width" -> "9"))),
+      basePath = Some(dir))
+    assert(resolved.find(_._1 == "mine").get._2.name === "USER/custom")
+    assert(resolved.find(_._1 == "mine").get._3("width") === "9")
+    intercept[IllegalArgumentException](Workers.resolveInstances(Map(
+      "bad" -> ("custom.scala", Map("width" -> "0"))), basePath = Some(dir)))
+  }
+
   test("registry workers produce their indicator columns") {
     val bars = (1 to 30).map(i => ("S", i.toLong, 100.0 + i, 10.0))
       .toDF("sym", "seq", "close", "vol")
