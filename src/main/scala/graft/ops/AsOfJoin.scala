@@ -30,7 +30,24 @@ object AsOfJoin {
     * @return `left.*` plus `payload` columns (null when no right row at/before)
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, payload, forwardDir = false)
+
+  /** FORWARD as-of: the payload of the EARLIEST right row with
+    * `right.ts >= left.ts` per key — the mirror of [[backward]]
+    * (`bisect_left` instead of `bisect_right - 1`): "the next signal at
+    * or after this tick". Same one-shuffle union+window idiom with the
+    * time axis reversed; a right row stamped exactly at the left time is
+    * visible (>= semantics), and among right rows sharing the minimal
+    * timestamp the highest payload tuple wins (the same deterministic
+    * tie rule as backward). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, payload, forwardDir = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   forwardDir: Boolean): DataFrame = {
     val leftCols = left.columns
     // Right side: only keys + ts + payload survive into the union.
     val rTagged = right.select(
@@ -51,8 +68,12 @@ object AsOfJoin {
     // (highest payload tuple wins) instead of a shuffle-order-dependent
     // one — required for the repo's byte-stable determinism guarantees.
     // Payload columns must therefore be orderable types.
+    // Forward mirrors the time axis (ts DESC): "last right row at or
+    // before" becomes "first right row at or after". Side/payload order
+    // is unchanged, so equal-ts visibility and the tie rule carry over.
+    val tsOrd = if (forwardDir) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc +: col("__side").asc +:
+      .orderBy(tsOrd +: col("__side").asc +:
         payload.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned) { case (df, p) =>

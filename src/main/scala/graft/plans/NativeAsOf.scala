@@ -170,4 +170,27 @@ object NativeAsOf {
       lt, rt, payload.map(attr(rOut, _, "right")))
     GraftSqlBridge.ofRows(spark, node)
   }
+
+  /** FORWARD as-of through the SAME sort-merge exec: earliest right row
+    * with `right.ts >= left.ts` per key. Implemented by mirroring the
+    * time axis — both timestamp columns negate, the backward node runs,
+    * and max(-rt) with -rt <= -lt IS min(rt) with rt >= lt. Negation is
+    * only meaningful for integral event time, so `LongType` is required
+    * on both sides (TimestampType callers: convert to epoch micros
+    * first — the same restriction a descending merge would impose). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    for ((df, c, side) <- Seq((left, leftTs, "left"), (right, rightTs, "right")))
+      require(df.schema(c).dataType == LongType,
+        s"forward as-of requires LongType event time, got " +
+          s"${df.schema(c).dataType} for $c on $side")
+    val negL = "__neg_" + leftTs
+    val negR = "__neg_" + rightTs
+    backward(
+      left.withColumn(negL, -col(leftTs)),
+      right.withColumn(negR, -col(rightTs)),
+      keys, negL, negR, payload)
+      .drop(negL)
+  }
 }

@@ -178,6 +178,36 @@ object TimeseriesQueries extends QueryPack {
         ORDER BY t.event_id"""),
       "Backward as-of join, union+window idiom vs native ASOF (SURVEY J1)"),
 
+    // J1 mirrored: FORWARD as-of — each purchase attaches the NEXT view
+    // at or after it (bisect_left vs backward's bisect_right - 1). Same
+    // union+window idiom with the time axis reversed; DuckDB's ASOF
+    // supports the direction natively (ON t.ts <= s.ts).
+    "q79_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val ticks = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("ts_ms"))
+        val signals = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ns"),
+            col("event_id").as("sig_id"), col("value").as("sig_value"),
+            col("ts_ms").as("sig_ts_ms"))
+        AsOfJoin.forward(ticks, signals, Seq("user_id"), "ts_ns", "ts_ns",
+            Seq("sig_id", "sig_value", "sig_ts_ms"))
+          .withColumn("lead_ms", col("sig_ts_ms") - col("ts_ms"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("sig_id"), col("sig_value"), col("lead_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT t.event_id, t.user_id, epoch_ms(t.ts) AS ts_ms,
+          s.sig_id, s.sig_value, s.sig_ts_ms - epoch_ms(t.ts) AS lead_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS sig_id, value AS sig_value,
+                        epoch_ms(ts) AS sig_ts_ms
+                        FROM events WHERE event_type = 'view') s
+          ON t.user_id = s.user_id AND t.ts <= s.ts
+        ORDER BY t.event_id"""),
+      "Forward as-of join: next right row at/after (SURVEY J1 mirrored)"),
+
     // J1 at scale: the SAME as-of semantics through the skew-safe
     // time-bucket-salted path (bounded tasks under a dominant key, carry
     // repair across sparse buckets) — verified against the identical

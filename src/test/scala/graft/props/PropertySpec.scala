@@ -60,6 +60,19 @@ class PropertySpec extends SparkSpecBase {
       (key, ts, hit)
     }.sorted
 
+  /** The forward mirror: earliest right row with ts >= left.ts; among
+    * right rows sharing that minimal ts, the highest payload wins. */
+  private def asOfForwardModel(left: Seq[(String, Long)],
+                               right: Seq[(String, Long, Long)]): Seq[(String, Long, Option[Long])] =
+    left.map { case (key, ts) =>
+      val at = right.filter(s => s._1 == key && s._2 >= ts)
+      val hit = if (at.isEmpty) None else {
+        val minTs = at.map(_._2).min
+        Some(at.filter(_._2 == minTs).map(_._3).max)
+      }
+      (key, ts, hit)
+    }.sorted
+
   test("as-of property: idiom, salted, and native Catalyst paths all match the model") {
     check("asof", Prop.forAll(genAsOf) { case (left, right) =>
       val l = left.toDF("key", "ts")
@@ -76,6 +89,23 @@ class PropertySpec extends SparkSpecBase {
       (idiom == expect) :| s"idiom $idiom != $expect" &&
         (salted == expect) :| "salted diverged" &&
         (native == expect) :| "native diverged"
+    })
+  }
+
+  test("as-of property: FORWARD idiom and negated-native paths match the mirror model") {
+    check("asof-fwd", Prop.forAll(genAsOf) { case (left, right) =>
+      val l = left.toDF("key", "ts")
+      val r = right.toDF("key", "ts_r", "sig")
+      val expect = asOfForwardModel(left, right)
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.select("key", "ts", "sig").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          .toSeq.sorted
+      val idiom = got(AsOfJoin.forward(l, r, Seq("key"), "ts", "ts_r", Seq("sig")))
+      val native = got(NativeAsOf.forward(l, r, Seq("key"), "ts", "ts_r", Seq("sig")))
+      (idiom == expect) :| s"fwd idiom $idiom != $expect" &&
+        (native == expect) :| "fwd native diverged"
     })
   }
 
