@@ -278,6 +278,33 @@ object TextQueries extends QueryPack {
           (octet_length(payload))::BIGINT AS n_bytes,
           md5(upper(hex(payload))) AS digest, TRUE AS valid
         FROM m ORDER BY media_id"""),
-      "Opaque media payloads: header encode/decode round-trip, byte-exact (multimodal)")
+      "Opaque media payloads: header encode/decode round-trip, byte-exact (multimodal)"),
+
+    // Deterministic stratified sampling + reproducible training order:
+    // membership is a pure function of (seed, doc_id) via the md5 gate
+    // (partitioning/run/engine independent), per-stratum rates resolve
+    // in one codegen'd filter, and mix_order is the replayable global
+    // shuffle any engine can reproduce.
+    "q80_stratified_mix" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sampled = graft.ops.Sampling.stratifiedHashSample(docs, "doc_id",
+          "lang", Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5),
+          defaultRate = 0.1)
+        graft.ops.Sampling.withMixOrder(sampled, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"), col("mix_order"))
+          .orderBy(col("mix_order"), col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id, lang, source,
+            ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 8))::BIGINT AS smp,
+            ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT AS mix_order
+          FROM documents)
+        SELECT doc_id, lang, source, mix_order FROM g
+        WHERE smp < CASE lang WHEN 'en' THEN 1073741824
+                              WHEN 'de' THEN 4294967296
+                              WHEN 'fr' THEN 2147483648
+                              ELSE 429496729 END
+        ORDER BY mix_order, doc_id"""),
+      "Deterministic stratified sampling + reproducible mix order (training-data staple)")
   )
 }

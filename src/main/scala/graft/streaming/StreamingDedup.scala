@@ -98,7 +98,8 @@ object StreamingDedup {
   /** A verified near-duplicate pair, `idA < idB`, exact Jaccard. */
   case class NearDupPair(idA: Long, idB: Long, jaccard: Double)
 
-  class BucketProcessor(rowsPerBand: Int, threshold: Double, maxBucket: Int)
+  class BucketProcessor(rowsPerBand: Int, threshold: Double, maxBucket: Int,
+                        skipped: org.apache.spark.util.LongAccumulator)
       extends StatefulProcessor[String, BandEvent, NearDupPair] {
     @transient private var members: ListState[Member] = _
 
@@ -152,9 +153,13 @@ object StreamingDedup {
           }
           existing += Member(ev.id, ev.slots, ev.arr)
           appended += 1
+        } else {
+          // beyond maxBucket the bucket is degenerate (exact-duplicate
+          // cluster); drop the member like the batch cap — but COUNT it
+          // (repo "no silent caps" convention), so operators can alert
+          // on lost coverage
+          skipped.add(1L)
         }
-        // beyond maxBucket the bucket is degenerate (exact-duplicate
-        // cluster); members are dropped like the batch `maxBucket` cap
       }
       if (appended > 0) members.put(existing.toArray)
       out.iterator
@@ -169,6 +174,8 @@ object StreamingDedup {
               maxBucket: Int = 4096): Dataset[NearDupPair] = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     import docs.sparkSession.implicits._
+    val skipped = docs.sparkSession.sparkContext
+      .longAccumulator("streamingDedup.nearDup.skippedMembers")
     val nBands = numHashes / rowsPerBand
     val params = Dedup.minhashParams(numHashes).toArray
     val events = docs.mapPartitions { it =>
@@ -191,7 +198,8 @@ object StreamingDedup {
       }
     }
     events.groupByKey(_.bucket)
-      .transformWithState(new BucketProcessor(rowsPerBand, threshold, maxBucket),
+      .transformWithState(
+        new BucketProcessor(rowsPerBand, threshold, maxBucket, skipped),
         TimeMode.None, OutputMode.Append)
   }
 }
