@@ -49,7 +49,7 @@ object Similarity {
       }
   }
 
-  private def cosine(a: Vec, b: Vec): Double = {
+  private[graft] def cosine(a: Vec, b: Vec): Double = {
     var s = 0.0; var j = 0
     while (j < a.v.length) { s += a.v(j) * b.v(j); j += 1 }
     s / (a.norm * b.norm)
@@ -683,11 +683,11 @@ object Similarity {
     * col = dimension. Values are exactly [[planeComponent]] — computed
     * ONCE per task (tables·planes·d md5 calls total) instead of once per
     * (row, plane, dim), which at n rows would be n× that many digests. */
-  private def planeMatrix(numPlanes: Int, d: Int): Array[Array[Double]] =
+  private[graft] def planeMatrix(numPlanes: Int, d: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, d)((plane, dim) => planeComponent(plane, dim))
 
   /** Sign-bit signature of `v` for table `t` with `planes` bits. */
-  private def signature(v: Array[Double], t: Int, planes: Int,
+  private[graft] def signature(v: Array[Double], t: Int, planes: Int,
                         mat: Array[Array[Double]]): String = {
     val sb = new StringBuilder(planes + 4)
     sb.append(t).append(':')

@@ -75,14 +75,23 @@ object StreamingDedup {
   }
 
   /** Exact streaming dedup keyed by text digest (md5, matching batch
-    * [[Dedup.exact]] and its oracle). */
+    * [[Dedup.exact]] and its oracle). Digests compute once per row in a
+    * partition pass (one MessageDigest per partition, not per row); the
+    * grouping key is then a plain field read. */
   def exact(docs: Dataset[Doc]): Dataset[ExactEvent] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey { d =>
+    val hex = "0123456789abcdef".toCharArray
+    docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
-    }.transformWithState(new ExactProcessor, TimeMode.None, OutputMode.Append)
+      it.map { d =>
+        val dig = md.digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val sb = new java.lang.StringBuilder(32)
+        dig.foreach { b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
+        (sb.toString, d)
+      }
+    }.groupByKey(_._1)
+      .mapValues(_._2)
+      .transformWithState(new ExactProcessor, TimeMode.None, OutputMode.Append)
   }
 
   // ---- near-dup ----
