@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 import graft.multimodal.Multimodal
 import graft.text.TextMetrics
 
@@ -305,6 +305,70 @@ object TextQueries extends QueryPack {
                               WHEN 'fr' THEN 2147483648
                               ELSE 429496729 END
         ORDER BY mix_order, doc_id"""),
-      "Deterministic stratified sampling + reproducible mix order (training-data staple)")
+      "Deterministic stratified sampling + reproducible mix order (training-data staple)"),
+
+    // Pair stream → connected components → canonical purge table: the
+    // last stage of the dedup family. Spark runs alternating
+    // large-star/small-star over q27's near-dup pairs; DuckDB closes the
+    // same edges transitively with a recursive CTE.
+    "q81_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccard(balanced(docs), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        Clusters.assign(docs, pairs, "doc_id").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $ShingleCte,
+        $JaccardVerifySql,
+        pairs AS (
+          SELECT id_a, id_b
+          FROM common JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+          WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        lab AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c USING (doc_id))
+        SELECT doc_id, cluster_id,
+          count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          (doc_id = cluster_id)::INT AS keep
+        FROM lab ORDER BY doc_id"""),
+      "Near-dup pairs → connected components (large-star/small-star) → purge table"),
+
+    "q82_repetition" -> QueryDef(
+      (s, dir) => TextMetrics.repetition(balanced(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g2 AS (SELECT doc_id,
+          unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g FROM t),
+        c2 AS (SELECT doc_id, max(c) AS topc
+          FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        g3 AS (SELECT doc_id,
+          unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  for i in range(1, len(toks) - 1)]) AS g FROM t),
+        c3 AS (SELECT doc_id, max(c) AS topc
+          FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        g5 AS (SELECT doc_id,
+          unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                  || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS g FROM t),
+        c5 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dst
+          FROM g5 GROUP BY 1)
+        SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+          round(coalesce((2 * c2.topc)::DOUBLE / len(toks), 0), 6) AS top2gram_frac,
+          round(coalesce((3 * c3.topc)::DOUBLE / len(toks), 0), 6) AS top3gram_frac,
+          round(coalesce((c5.tot - c5.dst)::DOUBLE / c5.tot, 0), 6) AS dup5gram_frac
+        FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+             LEFT JOIN c5 USING (doc_id)
+        ORDER BY doc_id"""),
+      "In-document repetition signals (top-n-gram / duplicated-n-gram fractions)")
   )
 }

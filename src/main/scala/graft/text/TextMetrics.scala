@@ -108,6 +108,98 @@ object TextMetrics {
     scored.select(col(id), pick.as("predicted_lang"), m.as("marker_hits"))
   }
 
+  /** In-document repetition signals — the Gopher-style repetition
+    * filters a corpus pipeline gates on before training:
+    *   - `top2gram_frac` / `top3gram_frac`: fraction of the doc's tokens
+    *     covered by occurrences of its MOST FREQUENT word {2,3}-gram
+    *     (count × n / n_tokens; sliding windows overlap, so heavily
+    *     repetitive docs can exceed 1 — it is a score, not a share);
+    *   - `dup5gram_frac`: fraction of 5-gram occurrences that repeat an
+    *     earlier occurrence (1 − distinct/total).
+    *
+    * All counts come from ONE `mapPartitions` pass per document — n-gram
+    * streams never shuffle (repetition filtering is per-doc, i.e.
+    * embarrassingly parallel; an explode + groupBy form would exchange
+    * the full n-gram stream for nothing). The fractions are assembled as
+    * Catalyst `round(…, 6)` columns so rounding parity with the DuckDB
+    * oracle follows the registry convention. Token semantics match
+    * `split(text, " ")` / DuckDB `string_split` (limit −1 keeps trailing
+    * empties); null-id/null-text rows are dropped like the dedup kernels. */
+  def repetition(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val idType = df.schema(id).dataType
+    val outSchema = StructType(Seq(
+      StructField(id, idType),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("__top2", LongType, nullable = false),
+      StructField("__top3", LongType, nullable = false),
+      StructField("__g5", LongType, nullable = false),
+      StructField("__g5d", LongType, nullable = false)))
+    val counted = df.select(col(id), col(text)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val toks = r.getString(1).split(" ", -1)
+          Iterator.single(Row(r.get(0), toks.length.toLong,
+            topNgramCount(toks, 2), topNgramCount(toks, 3),
+            math.max(toks.length - 4, 0).toLong, distinctNgrams(toks, 5)))
+        }
+      }
+    }(Encoders.row(outSchema))
+    counted.select(
+      col(id),
+      col("n_tokens"),
+      round((col("__top2") * 2).cast("double") / col("n_tokens"), 6)
+        .as("top2gram_frac"),
+      round((col("__top3") * 3).cast("double") / col("n_tokens"), 6)
+        .as("top3gram_frac"),
+      when(col("__g5") === 0L, lit(0.0))
+        .otherwise(round((col("__g5") - col("__g5d")).cast("double") / col("__g5"), 6))
+        .as("dup5gram_frac"))
+  }
+
+  /** Count of the most frequent word n-gram of `toks` (0 when the doc is
+    * shorter than n tokens). */
+  private def topNgramCount(toks: Array[String], n: Int): Long = {
+    val m = toks.length - n + 1
+    if (m <= 0) 0L
+    else {
+      val hm = new java.util.HashMap[String, Integer](m * 2)
+      val sb = new java.lang.StringBuilder
+      var best = 0
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        val c = hm.merge(sb.toString, 1, (a: Integer, b: Integer) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+      best.toLong
+    }
+  }
+
+  /** Number of DISTINCT word n-grams of `toks`. */
+  private def distinctNgrams(toks: Array[String], n: Int): Long = {
+    val m = toks.length - n + 1
+    if (m <= 0) 0L
+    else {
+      val hs = new java.util.HashSet[String](m * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        hs.add(sb.toString)
+        i += 1
+      }
+      hs.size.toLong
+    }
+  }
+
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set (bag-of-words identity), plus the raw-text md5. */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame =

@@ -1,0 +1,77 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+
+import scala.collection.mutable
+import scala.util.Random
+
+class ClustersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Driver-side union-find — the first-principles parity model. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graph matches driver union-find") {
+    val rnd = new Random(42)
+    val edges = Seq.fill(600)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter(e => e._1 != e._2)
+    assert(labelsOf(edges) === unionFind(500, edges))
+  }
+
+  test("chain converges in O(log^2 n) rounds, not diameter") {
+    // A 256-node path is the worst case for naive min-propagation
+    // (255 rounds); the alternating algorithm must stay logarithmic.
+    val chain = (0L until 255L).map(i => (i, i + 1))
+    val (labels, rounds) =
+      Clusters.ccWithIterations(chain.toDF("id_a", "id_b"), "id_a", "id_b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 255L).map(_ -> 0L).toMap)
+    assert(rounds <= 20, s"took $rounds rounds for a 256-chain")
+  }
+
+  test("cliques, duplicates, reversed and self pairs are tolerated") {
+    val messy = Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 11L))
+    val got = labelsOf(messy)
+    assert(got === Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("empty pair stream yields empty labels") {
+    assert(labelsOf(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("string ids cluster by lexicographic minimum") {
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("assign builds the purge table over the full corpus") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.assign(docs, pairs, "doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out === Array(
+      (1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0),
+      (4L, 4L, 2L, 1), (5L, 4L, 2L, 0), (9L, 9L, 1L, 1)))
+  }
+}
