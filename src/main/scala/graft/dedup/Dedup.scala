@@ -216,7 +216,7 @@ object Dedup {
     * feeds another kernel in the same plan (or reads back from a cached
     * object boundary). `getSeq` alone ClassCastExceptions on the latter —
     * caught by the stage probe at sf10, not by the oracle-scale specs. */
-  @inline private def longArray(v: Any): Array[Long] = v match {
+  @inline private[dedup] def longArray(v: Any): Array[Long] = v match {
     case a: Array[Long] => a
     case s: scala.collection.Seq[_] =>
       val n = s.length

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.{Clusters, Dedup}
+import graft.dedup.{Clusters, Contamination, Dedup}
 import graft.multimodal.Multimodal
 import graft.text.TextMetrics
 
@@ -369,6 +369,40 @@ object TextQueries extends QueryPack {
         FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
              LEFT JOIN c5 USING (doc_id)
         ORDER BY doc_id"""),
-      "In-document repetition signals (top-n-gram / duplicated-n-gram fractions)")
+      "In-document repetition signals (top-n-gram / duplicated-n-gram fractions)"),
+
+    // Train/eval contamination: src0 documents play the held-out
+    // benchmark; every other source is "the corpus". The oracle hashes
+    // 13-grams exactly like the Spark kernel (first 15 md5 hex chars as
+    // a 60-bit int), so the report is hash-exact, collisions included.
+    "q83_contamination" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.ngramOverlap(
+          balanced(docs.filter(col("source") =!= "src0")),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 13)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sel13 = (0 until 13)
+          .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+          .mkString(" || ' ' || ")
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM documents),
+        g AS (SELECT doc_id, source,
+          unnest([$sel13 for i in range(1, len(toks) - 11)]) AS g FROM t),
+        gh AS (SELECT DISTINCT doc_id, source,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g),
+        ev AS (SELECT DISTINCT h FROM gh WHERE source = 'src0'),
+        tr AS (SELECT doc_id, count(*) AS n_grams FROM gh
+               WHERE source <> 'src0' GROUP BY 1),
+        hits AS (SELECT gh.doc_id, count(*) AS hit_grams FROM gh JOIN ev USING (h)
+                 WHERE gh.source <> 'src0' GROUP BY 1)
+        SELECT tr.doc_id, tr.n_grams, hits.hit_grams,
+          round(hits.hit_grams::DOUBLE / tr.n_grams, 6) AS contamination
+        FROM tr JOIN hits USING (doc_id) ORDER BY tr.doc_id"""
+      },
+      "Train/eval 13-gram contamination report (broadcast benchmark hash set)")
   )
 }

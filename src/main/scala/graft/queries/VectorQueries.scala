@@ -213,6 +213,39 @@ object VectorQueries extends QueryPack {
         FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
                      unnest(embedding)::DOUBLE AS x FROM embeddings) t
         GROUP BY label, pos ORDER BY label, pos"""),
-      "Per-label embedding centroids (posexplode + groupBy, fully distributed)")
+      "Per-label embedding centroids (posexplode + groupBy, fully distributed)"),
+
+    // Semantic dedup (SemDeDup-style): q70's near-dup pairs fed through
+    // the dedup family's connected-components stage — one purge table for
+    // the embedding corpus. The oracle closes the exact all-pairs edges
+    // with a recursive CTE, mirroring q81's shape.
+    "q84_semantic_purge" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4)
+        graft.dedup.Clusters.assign(emb, pairs, "vec_id")
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE p AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM p a, p b WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        comp AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+        lab AS (SELECT p.vec_id, coalesce(c.cluster_id, p.vec_id) AS cluster_id
+                FROM p LEFT JOIN comp c USING (vec_id))
+        SELECT vec_id, cluster_id,
+          count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          (vec_id = cluster_id)::INT AS keep
+        FROM lab ORDER BY vec_id"""),
+      "Semantic dedup: embedding near-dup pairs → components → purge table")
   )
 }
