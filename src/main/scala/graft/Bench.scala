@@ -71,6 +71,15 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
     println(json)
+    // The per-query line grows with the registry (84 queries ≈ 3 KB) and
+    // can outgrow a log tail buffer, front-truncating into unparseable
+    // JSON. Print a short fixed-size summary line LAST so tail capture
+    // always ends with something parseable; the full line above and the
+    // file below stay the authoritative per-query record.
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"failed":$failedArr,"sf":"$sfDir"}"""
+    println(summary)
     // sbt prefixes stdout with "[info] ", which breaks naive line-parsers —
     // also persist the JSON to a file so consumers never scrape logs.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

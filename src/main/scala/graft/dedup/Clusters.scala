@@ -1,8 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Connected components over a near-dup PAIR stream, and the purge table
   * it implies — the missing last stage of the dedup family: the pair
@@ -16,25 +16,39 @@ import org.apache.spark.sql.functions._
   * documented scale extension for near-dup families where "A~B and B~C"
   * must collapse A, B, C together even when A~C was never emitted.
   *
-  * Algorithm: alternating large-star / small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14). Both steps
-  * are one `groupBy` + one join over the EDGE stream only (never the
-  * corpus), and the alternation provably converges in O(log² n) rounds —
-  * unlike naive min-label propagation whose round count is the component
-  * DIAMETER (a 1M-doc chain would take 1M rounds; here ~20). Every
-  * shuffle is bounded by the pair count, which the upstream df/bucket
-  * caps already bound linearly in corpus size.
+  * SIZE-ROUTED like the rest of the family: the edge stream (never the
+  * corpus) decides the route.
   *
-  * Scale notes: each round `localCheckpoint`s the edge set to truncate
-  * lineage (iterative self-referential plans otherwise grow Catalyst
-  * analysis exponentially); on a real cluster with executor loss
-  * concerns, swap for `checkpoint` with a reliable checkpoint dir — the
-  * algorithm is agnostic. Convergence is detected exactly (no
-  * hash-signature early-stop that could wrongly converge): a cardinality
-  * compare first, and only when cardinalities match a one-sided `except`
-  * (equal counts + empty difference ⟹ set equality).
+  *  - Edge count ≤ [[Clusters.UnionFindMaxEdges]] (the common case — the
+  *    upstream df/bucket caps bound pairs linearly in corpus size, and a
+  *    near-dup pair stream is a tiny fraction of the corpus): ONE bounded
+  *    `limit(threshold+1).collect()` and a driver-side union-find pass.
+  *    Labeling 59 edges must not cost 100 Spark jobs; it costs one.
+  *  - Above the threshold: alternating large-star / small-star (Kiveris
+  *    et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  *    Both steps are one `groupBy` + one join over the EDGE stream only,
+  *    and the alternation provably converges in O(log² n) rounds — unlike
+  *    naive min-label propagation whose round count is the component
+  *    DIAMETER (a 1M-doc chain would take 1M rounds; here ~20).
+  *
+  * Distributed-path scale notes: each round `localCheckpoint`s the edge
+  * set to truncate lineage (iterative self-referential plans otherwise
+  * grow Catalyst analysis exponentially); on a real cluster with executor
+  * loss concerns, swap for `checkpoint` with a reliable checkpoint dir —
+  * the algorithm is agnostic. Convergence costs ONE cheap aggregate job
+  * per round — a deterministic (count, sum(xxhash64(u,v))) signature —
+  * and only when the signature repeats (candidate fixpoint) does a single
+  * one-sided `except` verify exact set equality, so the expensive
+  * verification runs once per call, not once per round.
   */
 object Clusters {
+
+  /** Route boundary: edge sets at or under this size are labeled with one
+    * collected union-find pass (edges only — bounded by the same caps
+    * that bound the shuffles); larger sets take the star alternation.
+    * ~4M two-column rows is comfortably inside driver heap and far above
+    * every capped pair stream the family emits at test SFs. */
+  val UnionFindMaxEdges: Int = 4000000
 
   /** Component labels for every id that appears in `pairs`:
     * `(id, cluster_id)` with `cluster_id` = the component's minimum id.
@@ -45,17 +59,39 @@ object Clusters {
     ccWithIterations(pairs, idA, idB, maxIterations)._1
 
   /** [[connectedComponents]] plus the number of large+small-star rounds
-    * taken — exposed for the convergence-bound spec. */
+    * taken (0 on the union-find route) — exposed for the
+    * convergence-bound spec, which pins `unionFindMaxEdges = 0` to force
+    * the distributed route. */
   private[graft] def ccWithIterations(pairs: DataFrame, idA: String,
-      idB: String, maxIterations: Int = 50): (DataFrame, Int) = {
+      idB: String, maxIterations: Int = 50,
+      unionFindMaxEdges: Int = UnionFindMaxEdges): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(idA).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType), StructField("cluster", idType)))
+
     val init = pairs
       .select(col(idA).as("u"), col(idB).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
 
-    var edges = init.localCheckpoint(true)
-    var count = edges.count()
-    var converged = count == 0L
+    // Materialize the (possibly expensive — PPJoin, LSH) pair pipeline
+    // EXACTLY ONCE, then route on a bounded probe of the checkpointed
+    // blocks. Probing the raw plan instead would let CollectLimit's
+    // incremental partition scan re-run the upstream pipeline.
+    val checkpointed = init.localCheckpoint(true)
+    val probe = checkpointed.limit(unionFindMaxEdges + 1).collect()
+    if (probe.length <= unionFindMaxEdges) {
+      val labels = driverUnionFind(probe)
+      val rows = labels.map { case (i, c) => Row(i, c) }
+      val rdd = spark.sparkContext.parallelize(
+        rows, math.max(1, rows.length / 500000 + 1))
+      return (spark.createDataFrame(rdd, outSchema), 0)
+    }
+
+    var edges = checkpointed
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
     var rounds = 0
     while (!converged) {
       if (rounds >= maxIterations)
@@ -64,10 +100,13 @@ object Clusters {
             "(bound is O(log^2 n); this indicates a non-deterministic id ordering)")
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       rounds += 1
-      val nextCount = next.count()
-      converged = nextCount == count && next.except(edges).isEmpty
+      val nextSig = signature(next)
+      // Signature equality is the cheap candidate test; `except` is the
+      // exact verify and runs only at candidate convergence (equal counts
+      // + empty one-sided difference ⟹ set equality).
+      converged = nextSig == sig && next.except(edges).isEmpty
       edges = next
-      count = nextCount
+      sig = nextSig
     }
 
     // At fixpoint the edge set is a union of stars: (member, root) with
@@ -77,6 +116,60 @@ object Clusters {
       .union(edges.select(col("v").as("id"), col("v").as("cluster")))
       .groupBy("id").agg(min("cluster").as("cluster"))
     (labels, rounds)
+  }
+
+  /** Deterministic per-round edge-set signature: cardinality + XOR of a
+    * 64-bit row hash (order/partitioning independent, and — unlike a
+    * sum — immune to ANSI-mode overflow checks; the edge set is distinct
+    * so XOR-over-rows is a true set signature). Equal signatures are a
+    * near-certain indicator of set equality; the caller still verifies
+    * exactly with `except` before declaring convergence, so a collision
+    * can only cost one extra job, never a wrong answer. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val r = edges
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("s"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** One-pass driver union-find over a collected (bounded) edge array.
+    * Union-by-minimum keeps every root at its component's minimum id, so
+    * `find` at the end IS the cluster label. Ids are the same orderable
+    * atomics the distributed path handles (they arrive boxed and
+    * Comparable). Iterative two-pass find (root walk + path compression)
+    * keeps stack depth O(1) on adversarial chains. */
+  private def driverUnionFind(edges: Array[Row]): Array[(Any, Any)] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    val seen = new java.util.LinkedHashSet[Any]()
+    @inline def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      val root = x
+      x = x0
+      while (x != root) { val nxt = parent.get(x); parent.put(x, root); x = nxt }
+      root
+    }
+    var i = 0
+    while (i < edges.length) {
+      val a = edges(i).get(0)
+      val b = edges(i).get(1)
+      seen.add(a); seen.add(b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    val out = new Array[(Any, Any)](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    out
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum
@@ -113,19 +206,28 @@ object Clusters {
     * survivor (the component minimum). `docs.where("keep = 1")` is the
     * deduplicated corpus; the rest is the purge list.
     *
-    * The size window partitions by `cluster_id` — near-dup components are
-    * small by construction (the pair caps bound them), so no partition is
-    * hot; a degenerate giant component would concentrate its SIZE count
-    * (not the corpus) in one task. */
+    * The corpus side is ONE left join and nothing else: every unpaired
+    * document is trivially its own size-1 keep-1 cluster, so cluster
+    * sizes are computed on the LABEL side (bounded by the pair stream,
+    * not the corpus) before the join — the corpus never shuffles. On the
+    * union-find route the label table is known-bounded and broadcast
+    * explicitly (it comes from a local RDD whose size Catalyst can't
+    * estimate); on the distributed route AQE decides. Never an unbounded
+    * `count over (partition by cluster_id)` window, which would
+    * concentrate a degenerate giant component's rows in one task. */
   def assign(docs: DataFrame, pairs: DataFrame, id: String,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val labels = connectedComponents(pairs, idA, idB)
-      .withColumnRenamed("id", id)
-    val lab = docs.select(col(id))
-      .join(labels, Seq(id), "left")
-      .select(col(id), coalesce(col("cluster"), col(id)).as("cluster_id"))
-    lab
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .withColumn("keep", (col(id) === col("cluster_id")).cast("int"))
+    val (labels, rounds) = ccWithIterations(pairs, idA, idB)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val labeled = labels.join(sizes, "cluster")
+      .select(col("id").as(id), col("cluster").as("cluster_id"),
+        col("cluster_size"))
+    val right = if (rounds == 0) broadcast(labeled) else labeled
+    docs.select(col(id))
+      .join(right, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("cluster_id"), col(id)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (coalesce(col("cluster_id"), col(id)) === col(id)).cast("int").as("keep"))
   }
 }

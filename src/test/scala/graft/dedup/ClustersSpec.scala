@@ -37,12 +37,31 @@ class ClustersSpec extends SparkSpecBase {
   test("chain converges in O(log^2 n) rounds, not diameter") {
     // A 256-node path is the worst case for naive min-propagation
     // (255 rounds); the alternating algorithm must stay logarithmic.
+    // unionFindMaxEdges = 0 pins the distributed route — the default
+    // route would collect 255 edges and answer in zero rounds.
     val chain = (0L until 255L).map(i => (i, i + 1))
     val (labels, rounds) =
-      Clusters.ccWithIterations(chain.toDF("id_a", "id_b"), "id_a", "id_b")
+      Clusters.ccWithIterations(chain.toDF("id_a", "id_b"), "id_a", "id_b",
+        unionFindMaxEdges = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (0L to 255L).map(_ -> 0L).toMap)
     assert(rounds <= 20, s"took $rounds rounds for a 256-chain")
+  }
+
+  test("union-find route and star-alternation route agree") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("id_a", "id_b")
+    val (fast, fastRounds) =
+      Clusters.ccWithIterations(df, "id_a", "id_b")
+    val (distributed, distRounds) =
+      Clusters.ccWithIterations(df, "id_a", "id_b", unionFindMaxEdges = 0)
+    assert(fastRounds === 0)
+    assert(distRounds > 0)
+    val a = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = distributed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
   }
 
   test("cliques, duplicates, reversed and self pairs are tolerated") {
