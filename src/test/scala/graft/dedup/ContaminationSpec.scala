@@ -37,6 +37,32 @@ class ContaminationSpec extends SparkSpecBase {
       .isEmpty)
   }
 
+  test("broadcast route and inverted-index equi-join route agree") {
+    // maxBroadcastHashes = 0 forces the join route on the same inputs;
+    // both routes share the md5 shingle kernel so they must agree exactly.
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "pack my box with five dozen liquor jugs right now")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "today the quick brown fox jumps over a fence"),
+      (2L, "completely unrelated words that never overlap anything at all"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "she said pack my box with five dozen liquor jugs right now please")
+    ).toDF("doc_id", "text")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    val broadcastRoute =
+      rows(Contamination.ngramOverlap(train, eval, "doc_id", "text", n = 5))
+    val joinRoute = rows(Contamination.ngramOverlap(train, eval, "doc_id",
+      "text", n = 5, maxBroadcastHashes = 0))
+    assert(broadcastRoute.nonEmpty)
+    assert(broadcastRoute === joinRoute)
+  }
+
   test("empty eval side flags nothing") {
     val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val train = Seq((1L, "a b c d e f g h i j k l m n")).toDF("doc_id", "text")
