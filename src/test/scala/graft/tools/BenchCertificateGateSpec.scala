@@ -12,9 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * `bench_local_r{N}.json`, re-mint the certificate with
   * `runMain graft.tools.BenchCertify bench_local_r{N}.json
   * bench_certificate.json` when the round's numbers become the new
-  * baseline. A new query missing from the certificate is NOT a failure
-  * (new work isn't a regression); a certified query missing from the
-  * run IS (the certified workload must stay runnable). */
+  * baseline. EVERY registered query must appear in the certificate and
+  * in the committed medians — round 6 proved that "new queries aren't
+  * regressions" leaves the gate structurally blind to exactly the
+  * queries most likely to regress (the newest code): the 8 queries added
+  * after the r6 mint carried a real elevation the gate never saw. The
+  * cost of the stricter contract is one re-mint per round that adds
+  * queries, which is the round workflow anyway. */
 class BenchCertificateGateSpec extends AnyFunSuite {
 
   private val certPath = Paths.get("bench_certificate.json")
@@ -52,5 +56,23 @@ class BenchCertificateGateSpec extends AnyFunSuite {
         s"${1 + cert.tolerancePct / 100}):\n" + v.violations.map(x =>
         f"  ${x.query}: ${x.baselineSec}%.3f -> ${x.currentSec}%.3f (${x.ratio}%.2fx)")
         .mkString("\n"))
+  }
+
+  test("every registered query is certified and measured (no blind spot)") {
+    assume(Files.exists(certPath) && latestBench.isDefined)
+    val cert = BenchCertificate.read(certPath)
+    val (round, benchPath) = latestBench.get
+    val current = BenchCertify.parseBenchQueries(
+      new String(Files.readAllBytes(benchPath), "UTF-8"))
+    val registered = graft.SparkEntry.queries.keySet
+    val uncertified = registered.diff(cert.queries.keySet).toSeq.sorted
+    val unmeasured = registered.diff(current.keySet).toSeq.sorted
+    assert(uncertified.isEmpty,
+      "registered queries missing from bench_certificate.json (the gate " +
+        "is blind to them until re-minted — run the 3-run local bench and " +
+        s"BenchCertify): ${uncertified.mkString(", ")}")
+    assert(unmeasured.isEmpty,
+      s"registered queries missing from bench_local_r$round.json (re-run " +
+        s"the 3-run local bench): ${unmeasured.mkString(", ")}")
   }
 }
