@@ -84,6 +84,20 @@ object Bench {
     // also persist the JSON to a file so consumers never scrape logs.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // Plan-shape sidecar: the formatted physical plan of the 5 most
+    // expensive queries, written next to the bench artifact so a plan
+    // audit (Exchange count, broadcast vs shuffle joins, PushedFilters,
+    // WholeStageCodegen spans) reads the round's artifact instead of
+    // re-deriving plans in a separate session. Planning only — nothing
+    // re-executes, so the sidecar costs milliseconds.
+    val top5 = results.sortBy(-_._2).take(5).map(_._1)
+    val plans = top5.map { n =>
+      val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      s"========== $n ==========\n" + qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out + ".plans.txt"), plans.mkString("\n"))
     spark.stop()
   }
 }
