@@ -192,7 +192,7 @@ object Dedup {
     }
   }
 
-  private[dedup] def docShingleArrays(df: DataFrame, id: String, text: String,
+  private[graft] def docShingleArrays(df: DataFrame, id: String, text: String,
                                       n: Int): DataFrame = {
     val idType = df.schema(id).dataType
     val outSchema = StructType(Seq(StructField(id, idType),
