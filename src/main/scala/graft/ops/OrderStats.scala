@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Scalable EXACT grouped percentiles (SURVEY A12/A13 at scale).
+  *
+  * Spark's `percentile` aggregate is exact but buffers every value of a
+  * group inside one aggregation buffer (a value→count map — fine for
+  * low-cardinality ints, fatal for near-unique doubles): with a handful
+  * of groups, a 100 TB table concentrates into a handful of executor
+  * buffers. The scalable exact idiom is DISTRIBUTED SELECTION over a
+  * range-partitioned sort, the same family as [[GlobalRank]]:
+  *
+  *   1. melt the requested (valueCol, p) specs into one (spec, group,
+  *      value) stream and `repartitionByRange` + `sortWithinPartitions`
+  *      on (spec, group, value) — a full distributed sort; a large
+  *      group SPANS partitions instead of landing in one task;
+  *   2. one per-partition histogram pass: counts per (spec, group) per
+  *      partition — driver state O(partitions × groups × specs), never
+  *      the data;
+  *   3. the driver turns each percentile into at most two global indexes
+  *      per (spec, group) (floor/ceil of (n−1)·p), maps them to
+  *      per-partition local offsets via the histogram prefix sums, and
+  *      one second pass extracts exactly those rows — a bounded collect
+  *      of ≤ 2·specs·groups values;
+  *   4. linear interpolation on the driver, with Spark's own formula
+  *      ((hi−x)·v_lo + (x−lo)·v_hi) so results are bit-compatible with
+  *      the `percentile` aggregate.
+  *
+  * No assumption is made about the ordering of group keys — offsets are
+  * computed within each (spec, group) block from partition-order prefix
+  * sums, so any atomic group type works.
+  *
+  * Cost: one shuffle (the range repartition) + two cheap passes over the
+  * sorted blocks. Null values are excluded, matching the aggregate.
+  */
+object OrderStats {
+
+  /** One percentile request: `value` column, percentile in [0, 1], and
+    * the output column name. */
+  final case class PctSpec(value: String, p: Double, out: String)
+
+  /** One row per group with at least one non-null value in at least one
+    * spec column, with one double column per spec (null when the group
+    * has no non-null values for that spec's column — and absent entirely
+    * when that holds for every spec, matching what a grouped aggregate
+    * over the melted non-null stream would return). Output schema:
+    * (group, spec1.out, spec2.out, ...). */
+  def groupedPercentiles(df: DataFrame, group: String,
+                         specs: Seq[PctSpec]): DataFrame = {
+    require(specs.nonEmpty, "at least one percentile spec required")
+    specs.foreach(s => require(s.p >= 0 && s.p <= 1,
+      s"percentile must be in [0,1], got ${s.p}"))
+    val spark = df.sparkSession
+    val melted = specs.zipWithIndex.map { case (s, i) =>
+      df.select(col(group).as("g"), lit(i).as("w"),
+          col(s.value).cast("double").as("v"))
+        .where(col("v").isNotNull)
+    }.reduce(_ union _)
+    // Range partitioning splits big (w, g) blocks across partitions; the
+    // within-partition sort completes the distributed order. Materialize
+    // once — both passes below read the same blocks.
+    val sorted = melted
+      .repartitionByRange(col("w"), col("g"), col("v"))
+      .sortWithinPartitions(col("w"), col("g"), col("v"))
+      .localCheckpoint(true)
+
+    // Pass 1: per-partition (spec, group) histogram, in partition order.
+    val hist: Array[(Int, Array[((Int, Any), Long)])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val counts = scala.collection.mutable.LinkedHashMap.empty[(Int, Any), Long]
+        it.foreach { r =>
+          val k = (r.getInt(1), r.get(0))
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+        }
+        Iterator.single((pid, counts.toArray))
+      }.collect()
+
+    // Global count and per-partition start offset of every (w, g) block.
+    val totals = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    val starts = scala.collection.mutable.HashMap.empty[(Int, (Int, Any)), Long]
+    hist.sortBy(_._1).foreach { case (pid, counts) =>
+      counts.foreach { case (k, c) =>
+        starts((pid, k)) = totals.getOrElse(k, 0L)
+        totals(k) = totals.getOrElse(k, 0L) + c
+      }
+    }
+
+    // Needed global indexes per (w, g): floor/ceil of (n-1)·p.
+    val wanted: Map[(Int, Any), Set[Long]] = totals.map { case (k @ (w, _), n) =>
+      val x = specs(w).p * (n - 1)
+      k -> Set(math.floor(x).toLong, math.ceil(x).toLong)
+    }.toMap
+    // Per partition: (w, g) -> sorted local offsets to extract.
+    val perPartition: Map[Int, Map[(Int, Any), Array[Long]]] =
+      hist.map { case (pid, counts) =>
+        pid -> counts.flatMap { case (k, c) =>
+          val s = starts((pid, k))
+          val local = wanted(k).filter(i => i >= s && i < s + c)
+            .map(_ - s).toArray.sorted
+          if (local.isEmpty) None else Some(k -> local)
+        }.toMap
+      }.filter(_._2.nonEmpty).toMap
+    val bcNeeds = spark.sparkContext.broadcast(perPartition)
+
+    // Pass 2: extract exactly the wanted rows — a bounded collect.
+    val picked: Map[(Int, Any, Long), Double] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        bcNeeds.value.get(pid) match {
+          case None => Iterator.empty
+          case Some(needs) =>
+            val cursor = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+            val next = scala.collection.mutable.HashMap.empty[(Int, Any), Int]
+            it.flatMap { r =>
+              val k = (r.getInt(1), r.get(0))
+              needs.get(k) match {
+                case None => None
+                case Some(local) =>
+                  val i = cursor.getOrElse(k, 0L)
+                  cursor(k) = i + 1
+                  val ptr = next.getOrElse(k, 0)
+                  if (ptr < local.length && local(ptr) == i) {
+                    next(k) = ptr + 1
+                    Some(((k._1, k._2, starts((pid, k)) + i), r.getDouble(2)))
+                  } else None
+              }
+            }
+        }
+      }.collect().toMap
+
+    // Interpolate with the percentile aggregate's own formula.
+    val groups = totals.keys.map(_._2).toSeq.distinct
+    val outRows = groups.map { g =>
+      val vals = specs.indices.map { w =>
+        totals.get((w, g)) match {
+          case None => null
+          case Some(n) =>
+            val x = specs(w).p * (n - 1)
+            val lo = math.floor(x).toLong
+            val hi = math.ceil(x).toLong
+            val vLo = picked((w, g, lo))
+            val res =
+              if (lo == hi) vLo
+              else (hi - x) * vLo + (x - lo) * picked((w, g, hi))
+            Double.box(res)
+        }
+      }
+      Row.fromSeq(g +: vals)
+    }
+    val gField = StructField(group, df.schema(group).dataType)
+    val schema = StructType(gField +: specs.map(s =>
+      StructField(s.out, DoubleType)).toArray.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), schema)
+  }
+}

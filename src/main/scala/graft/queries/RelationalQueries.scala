@@ -241,18 +241,31 @@ object RelationalQueries extends QueryPack {
         GROUP BY regime ORDER BY regime"""),
       "Regime classification vs global mean (SURVEY A4), broadcast scalar"),
 
-    // A12/A13: order statistics.
+    // A12/A13: order statistics. Exact percentiles via distributed
+    // selection (ops/OrderStats) rather than the `percentile` aggregate:
+    // the aggregate buffers every group value in ONE buffer (3 groups =
+    // 3 buffers holding the whole table — a scale-killer for near-unique
+    // doubles like l_extendedprice); OrderStats range-partitions the sort
+    // so a big group spans partitions, and collects only the ≤2 rows per
+    // (group, percentile) that the interpolation needs. Same exact
+    // results (bit-compatible interpolation formula), spec'd + oracle'd.
     "q10_stats" -> QueryDef(
       (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
+        val li = Tables.lineitem(s, dir)
+        val base = li.groupBy(col("l_returnflag"))
           .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
             round(stddev_pop(col("l_quantity")), 6).as("sd_qty"),
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"),
             count(lit(1)).as("n"))
+        val pct = graft.ops.OrderStats.groupedPercentiles(li, "l_returnflag",
+          Seq(graft.ops.OrderStats.PctSpec("l_quantity", 0.5, "median_raw"),
+            graft.ops.OrderStats.PctSpec("l_extendedprice", 0.95, "p95_raw")))
+        base.join(broadcast(pct), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("median_raw"), 6).as("median_qty"),
+            round(col("p95_raw"), 4).as("p95_price"),
+            col("sd_qty"), col("min_qty"), col("max_qty"), col("n"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
