@@ -182,10 +182,16 @@ object Similarity {
     * same bit-exact cosine as the exact grid, so whenever recall is 1
     * the two routes return identical results (spec-proven on planted
     * near-dup clusters). The routing `count()` is a real (cheap) job on
-    * non-trivial plans — route once, not per call, in hot loops. */
+    * non-trivial plans — route once, not per call, in hot loops.
+    *
+    * `maxExactRows` sits at the MEASURED cost crossover, not at the
+    * largest size the exact grid survives: at 64 dims, exact-at-8k ≈
+    * 1 s ≈ the LSH route's fixed overhead, while exact-at-20k already
+    * burns 17 s against LSH's 2 s (the old 32768 cap put the worst
+    * case of the quadratic path just inside the exact route). */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
                          threshold: Double, probeBlocks: Int = 8,
-                         buildBlocks: Int = 8, maxExactRows: Long = 32768,
+                         buildBlocks: Int = 8, maxExactRows: Long = 8192,
                          tables: Int = 8, planes: Int = 0): DataFrame =
     if (df.count() <= maxExactRows)
       cosineNearDupPairsExact(df, id, vec, threshold, probeBlocks, buildBlocks)
@@ -248,10 +254,26 @@ object Similarity {
     * quadratic in cluster size, so skipping the bucket would drop true
     * answers to save work that the answer requires. Posting the full
     * cluster is the contract; feed pathological corpora through exact
-    * dedup first if that is unacceptable. */
+    * dedup first if that is unacceptable.
+    *
+    * SKEW: sign-hash buckets are not uniform on real (clustered) data,
+    * and one giant bucket's O(B²) verify would run as ONE straggler task
+    * while the rest of the cluster idles (measured: a 50k-vector corpus
+    * whose worst bucket held ~10% of the rows ran 17 s on 32 cores with
+    * 31 idle). Buckets larger than `splitAbove` are therefore GRID-SPLIT
+    * like the exact path: rows land in a √s×√s probe/build cell grid by
+    * id hash, each unordered pair meets in exactly one cell (the id-order
+    * rule picks the surviving orientation), so the candidate set — and
+    * hence the result — is IDENTICAL, only sliced across tasks. The
+    * split factor is capped (64) so replication stays bounded on
+    * pathological buckets; the per-bucket sizing pass is one map-side
+    * counted aggregate, and only oversized buckets' sizes are collected
+    * (≤ rows·tables/splitAbove entries — a bounded probe, the family's
+    * size-router convention). */
   def cosineNearDupPairsLsh(df: DataFrame, id: String, vec: String,
                             threshold: Double, planes: Int = 0,
-                            tables: Int = 8): DataFrame = {
+                            tables: Int = 8,
+                            splitAbove: Int = 2048): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = toVecs(df, id, vec)
@@ -261,7 +283,7 @@ object Similarity {
       else math.max(4, math.ceil(
         math.log(df.count() / 32.0) / math.log(2.0)).toInt)
     val nTables = tables
-    val buckets = vecs.mapPartitions { it =>
+    def buckets = vecs.mapPartitions { it =>
       var mat: Array[Array[Double]] = null
       it.flatMap { a =>
         if (mat == null || mat(0).length < a.v.length)
@@ -269,20 +291,49 @@ object Similarity {
         (0 until nTables).iterator.map(t => (signature(a.v, t, nPlanes, mat), a))
       }
     }
+    // Oversized-bucket census. Recomputing the signature stream here is
+    // deliberate: it is map-only work, far cheaper than materializing a
+    // tables×-replicated vector stream for reuse.
+    val giant: Map[String, Int] = buckets
+      .groupByKey(_._1).count()
+      .filter(_._2 > splitAbove.toLong)
+      .collect()
+      .map { case (sig, n) =>
+        sig -> math.min(64, ((n + splitAbove - 1) / splitAbove).toInt)
+      }.toMap
+    val bcGiant = spark.sparkContext.broadcast(giant)
+    // Roles: 1 = probe, 2 = build. Normal buckets put every row in cell
+    // 0 with both roles; a giant bucket's row is a probe in its own grid
+    // row and a build in its own grid column.
+    val cells = buckets.mapPartitions { it =>
+      val g = bcGiant.value
+      it.flatMap { case (sig, a) =>
+        g.get(sig) match {
+          case None => Iterator.single((sig, 0, 3, a))
+          case Some(s) =>
+            val h = java.lang.Long.hashCode(a.id * 0x9E3779B97F4A7C15L)
+            val own = math.floorMod(h, s)
+            (0 until s).iterator.map(bb => (sig, own * s + bb, 1, a)) ++
+              (0 until s).iterator.map(pb => (sig, pb * s + own, 2, a))
+        }
+      }
+    }
     val pre = threshold - 5e-7 // cheap double prefilter before the exact
-    buckets.groupByKey(_._1)   // BigDecimal rounding that defines the cut
+    cells.groupByKey(r => (r._1, r._2)) // BigDecimal rounding defines the cut
       .flatMapGroups { (_, it) =>
-        val vs = it.map(_._2).toArray
-        java.util.Arrays.sort(vs, Ordering.by((v: Vec) => v.id))
+        val rows = it.toArray
+        val probes = rows.collect { case (_, _, role, v) if (role & 1) != 0 => v }
+        val builds = rows.collect { case (_, _, role, v) if (role & 2) != 0 => v }
+        java.util.Arrays.sort(builds, Ordering.by((v: Vec) => v.id))
         for {
-          i <- vs.indices.iterator
-          j <- (i + 1 until vs.length).iterator
-          if vs(i).id != vs(j).id
-          c = cosine(vs(i), vs(j))
+          a <- probes.iterator
+          b <- builds.iterator
+          if a.id < b.id
+          c = cosine(a, b)
           if c >= pre &&
             BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
               .toDouble >= threshold
-        } yield (vs(i).id, vs(j).id, c)
+        } yield (a.id, b.id, c)
       }
       .distinct()
       .toDF("id_a", "id_b", "cosine")
@@ -683,6 +734,22 @@ object Similarity {
     * col = dimension. Values are exactly [[planeComponent]] — computed
     * ONCE per task (tables·planes·d md5 calls total) instead of once per
     * (row, plane, dim), which at n rows would be n× that many digests. */
+  /** Dev-only census hook for tools/BucketProbe: (bucket, size) of the
+    * near-dup LSH signature stream at a given plane/table count. */
+  private[graft] def debugBucketSizes(df: DataFrame, id: String, vec: String,
+                                      nPlanes: Int, nTables: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    toVecs(df, id, vec).mapPartitions { it =>
+      var mat: Array[Array[Double]] = null
+      it.flatMap { a =>
+        if (mat == null || mat(0).length < a.v.length)
+          mat = planeMatrix(nTables * nPlanes, a.v.length)
+        (0 until nTables).iterator.map(t => signature(a.v, t, nPlanes, mat))
+      }
+    }.groupByKey(identity).count().toDF("bucket", "sz")
+  }
+
   private[graft] def planeMatrix(numPlanes: Int, d: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, d)((plane, dim) => planeComponent(plane, dim))
 
