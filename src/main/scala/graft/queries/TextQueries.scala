@@ -2,9 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.{Clusters, Contamination, Dedup}
+import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.TextMetrics
+import graft.text.{Redact, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -403,6 +403,85 @@ object TextQueries extends QueryPack {
           round(hits.hit_grams::DOUBLE / tr.n_grams, 6) AS contamination
         FROM tr JOIN hits USING (doc_id) ORDER BY tr.doc_id"""
       },
-      "Train/eval 13-gram contamination report (broadcast benchmark hash set)")
+      "Train/eval 13-gram contamination report (broadcast benchmark hash set)"),
+
+    // Exact-substring dedup (Lee et al. 2021 ExactSubstr, k-gram-hash
+    // form): maximal repeated spans at 8-token resolution. The oracle
+    // replays the identical pipeline — positional 60-bit window hashes,
+    // corpus-wide occurrence count, gaps-and-islands merge — so spans
+    // are hash-exact, collisions included.
+    "q85_substring_dedup" -> QueryDef(
+      (s, dir) => ExactSubstrings.duplicatedSpans(
+          balanced(Tables.documents(s, dir)), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some {
+        val k = 8
+        val win = (0 until k)
+          .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+          .mkString(" || ' ' || ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+        w AS (SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS i, toks
+              FROM t),
+        h AS (SELECT doc_id, i - 1 AS pos,
+          ('0x' || substr(md5($win), 1, 15))::BIGINT AS h FROM w),
+        dup AS (SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM h)
+          WHERE c >= 2),
+        isl AS (SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 <= $k THEN 0 ELSE 1 END AS brk FROM dup),
+        sp AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM isl)
+        SELECT doc_id, min(pos) AS span_start, (max(pos) + $k) AS span_end,
+          count(*) AS n_windows
+        FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start"""
+      },
+      "Exact-substring dedup: maximal repeated k-token spans (rolling-hash join)"),
+
+    // PII scrub over deterministically PII-bearing text: each doc gets a
+    // synthetic email, IPv4, and phone appended (a pure function of
+    // doc_id, built identically in both engines) so the operator is
+    // exercised on every row; counts and the redacted digest are exact.
+    "q86_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id").cast("long")
+        val pii = concat(col("text"),
+          lit(" contact user"), d.cast("string"),
+          lit("@mail.example.com ip 10.0."), (d % 256).cast("string"),
+          lit("."), ((d * 7) % 256).cast("string"),
+          lit(" tel 555-"), lpad((d % 10000).cast("string"), 4, "0"))
+        val docs = Tables.documents(s, dir).withColumn("pii_text", pii)
+        Redact.redactPii(docs, "doc_id", "pii_text")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            col("n_phones"), md5(col("redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ep = Redact.EmailPattern
+        val ip = Redact.Ipv4Pattern
+        val pp = Redact.PhonePattern
+        s"""WITH p AS (SELECT doc_id,
+            text || ' contact user' || doc_id::BIGINT::VARCHAR
+                 || '@mail.example.com ip 10.0.'
+                 || (doc_id::BIGINT % 256)::VARCHAR || '.'
+                 || ((doc_id::BIGINT * 7) % 256)::VARCHAR
+                 || ' tel 555-'
+                 || lpad((doc_id::BIGINT % 10000)::VARCHAR, 4, '0') AS t0
+          FROM documents),
+        s1 AS (SELECT doc_id, t0,
+          regexp_replace(t0, '$ep', '${Redact.EmailTag}', 'g') AS t1 FROM p),
+        s2 AS (SELECT doc_id, t0, t1,
+          regexp_replace(t1, '$ip', '${Redact.IpTag}', 'g') AS t2 FROM s1),
+        s3 AS (SELECT doc_id, t0, t1, t2,
+          regexp_replace(t2, '$pp', '${Redact.PhoneTag}', 'g') AS t3 FROM s2)
+        SELECT doc_id,
+          len(regexp_extract_all(t0, '$ep'))::BIGINT AS n_emails,
+          len(regexp_extract_all(t1, '$ip'))::BIGINT AS n_ips,
+          len(regexp_extract_all(t2, '$pp'))::BIGINT AS n_phones,
+          md5(t3) AS redacted_md5
+        FROM s3 ORDER BY doc_id"""
+      },
+      "PII scrub: email/IPv4/phone detect + redact with per-doc counts")
   )
 }
