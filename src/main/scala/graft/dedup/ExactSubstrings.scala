@@ -97,19 +97,26 @@ object ExactSubstrings {
     }(Encoders.row(outSchema))
   }
 
-  /** Maximal repeated spans at k-token resolution: for every document,
-    * the token ranges `[span_start, span_end)` covered by k-windows that
-    * occur at ≥ 2 sites corpus-wide (other docs or elsewhere in the same
-    * doc), with overlapping/adjacent duplicated windows merged.
-    * `n_windows` counts the duplicated k-windows inside the span. */
-  def duplicatedSpans(df: DataFrame, id: String, text: String,
-      k: Int = 8): DataFrame = {
+  /** The duplicated k-window sites: every (id, pos) whose window hash
+    * occurs at ≥ 2 sites corpus-wide (other docs or elsewhere in the
+    * same doc). The streaming form
+    * ([[graft.streaming.StreamingSubstrings]]) emits exactly this set,
+    * incrementally. */
+  def duplicatedWindows(df: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
-    val wh = windowHashes(df, id, text, k)
-    val dup = wh
+    windowHashes(df, id, text, k)
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("c") >= 2)
       .select(col(id), col("pos"))
+  }
+
+  /** Gaps-and-islands merge of duplicated window sites into maximal
+    * spans: windows whose starts are ≤ k apart overlap or touch, so
+    * they merge; `span_end` is exclusive. Input is any (id, pos)
+    * relation of duplicated k-window sites ([[duplicatedWindows]] or
+    * the streaming operator's accumulated output). */
+  def mergeSpans(dup: DataFrame, id: String, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
     dup
       .withColumn("brk",
@@ -122,6 +129,15 @@ object ExactSubstrings {
         count(lit(1)).as("n_windows"))
       .select(col(id), col("span_start"), col("span_end"), col("n_windows"))
   }
+
+  /** Maximal repeated spans at k-token resolution: for every document,
+    * the token ranges `[span_start, span_end)` covered by k-windows that
+    * occur at ≥ 2 sites corpus-wide, with overlapping/adjacent
+    * duplicated windows merged. `n_windows` counts the duplicated
+    * k-windows inside the span. */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+      k: Int = 8): DataFrame =
+    mergeSpans(duplicatedWindows(df, id, text, k), id, k)
 
   /** Per-document rollup of [[duplicatedSpans]]: total tokens inside
     * repeated spans and the repeated-token fraction — the scalar the

@@ -451,7 +451,10 @@ object TextQueries extends QueryPack {
           lit("@mail.example.com ip 10.0."), (d % 256).cast("string"),
           lit("."), ((d * 7) % 256).cast("string"),
           lit(" tel 555-"), lpad((d % 10000).cast("string"), 4, "0"))
-        val docs = Tables.documents(s, dir).withColumn("pii_text", pii)
+        // balanced BEFORE the regex chain: the scan's split count caps
+        // the cores the six regex passes can use (measured at sf100:
+        // 8 files -> 8 busy cores of 32)
+        val docs = balanced(Tables.documents(s, dir)).withColumn("pii_text", pii)
         Redact.redactPii(docs, "doc_id", "pii_text")
           .select(col("doc_id"), col("n_emails"), col("n_ips"),
             col("n_phones"), md5(col("redacted")).as("redacted_md5"))
