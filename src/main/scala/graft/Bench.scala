@@ -23,6 +23,12 @@ object Bench {
     // (the driver contract).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Dev-only complement of ONLY: run the full registry MINUS a short
+    // list (the full-suite ladders drop only the two contract-quadratic
+    // exact baselines, q33/q44, whose scale paths are q34/q71/q78).
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = GraftSession.localFromEnv()
     // warmup: JVM + parquet reader + codegen paths. Subset ladder dirs
     // (SPARK_GRAFT_BENCH_ONLY generations) may carry only the tables the
@@ -33,7 +39,8 @@ object Bench {
     warmTable.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) &&
+        !skip.contains(name) }
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -75,13 +75,22 @@ object ExactSubstrings {
     }
   }
 
-  /** (id, pos, h): one row per k-token window, 0-based token position. */
+  /** (id, pos, h): one row per k-token window, 0-based token position.
+    * `withLen` appends the doc's token count `n_tokens` to every row —
+    * it is a byproduct of the tokenization this pass already does, so
+    * [[duplicatedSummary]] never pays a second scan (or a second run of
+    * the md5 kernel) just to re-count tokens. [[duplicatedWindows]]
+    * leaves it off: the extra long column would widen the h-exchange
+    * for a value the span pipeline never reads. */
   private[graft] def windowHashes(df: DataFrame, id: String, text: String,
-      k: Int): DataFrame = {
+      k: Int, withLen: Boolean = false): DataFrame = {
     val idType = df.schema(id).dataType
-    val outSchema = StructType(Seq(StructField(id, idType),
+    val base = Seq(StructField(id, idType),
       StructField("pos", LongType, nullable = false),
-      StructField("h", LongType, nullable = false)))
+      StructField("h", LongType, nullable = false))
+    val outSchema = StructType(
+      if (withLen) base :+ StructField("n_tokens", LongType, nullable = false)
+      else base)
     df.select(col(id), col(text)).mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
@@ -89,8 +98,12 @@ object ExactSubstrings {
         else {
           val hs = windowHashesOf(r.getString(1), k, md)
           val idv = r.get(0)
+          // tokens = windows + k - 1, recovered for free from the hash
+          // array (docs with < k tokens emit no windows and no rows)
+          val nTok = (hs.length + k - 1).toLong
           hs.iterator.zipWithIndex.map { case (h, pos) =>
-            Row(idv, pos.toLong, h)
+            if (withLen) Row(idv, pos.toLong, h, nTok)
+            else Row(idv, pos.toLong, h)
           }
         }
       }
@@ -115,8 +128,13 @@ object ExactSubstrings {
     * spans: windows whose starts are ≤ k apart overlap or touch, so
     * they merge; `span_end` is exclusive. Input is any (id, pos)
     * relation of duplicated k-window sites ([[duplicatedWindows]] or
-    * the streaming operator's accumulated output). */
-  def mergeSpans(dup: DataFrame, id: String, k: Int): DataFrame = {
+    * the streaming operator's accumulated output). `carry` names extra
+    * per-document-constant input columns to keep on the output (via
+    * `max`, which is the identity on a constant) — [[duplicatedSummary]]
+    * threads `n_tokens` through this way instead of re-deriving it with
+    * a second scan. */
+  def mergeSpans(dup: DataFrame, id: String, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
     dup
       .withColumn("brk",
@@ -125,9 +143,11 @@ object ExactSubstrings {
       .withColumn("span", sum(col("brk")).over(byDoc))
       .groupBy(col(id), col("span"))
       .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + k).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col(id), col("span_start"), col("span_end"), col("n_windows"))
+        (max(col("pos")) + k).as("span_end")
+          +: count(lit(1)).as("n_windows")
+          +: carry.map(c => max(col(c)).as(c)): _*)
+      .select(col(id) +: col("span_start") +: col("span_end")
+          +: col("n_windows") +: carry.map(col): _*)
   }
 
   /** Maximal repeated spans at k-token resolution: for every document,
@@ -142,16 +162,27 @@ object ExactSubstrings {
   /** Per-document rollup of [[duplicatedSpans]]: total tokens inside
     * repeated spans and the repeated-token fraction — the scalar the
     * paper's ExactSubstr filter thresholds on. Docs with no repeated
-    * span are omitted (the output is the dedup-candidate report). */
+    * span are omitted (the output is the dedup-candidate report).
+    *
+    * Single-scan: `n_tokens` rides along from the window-hash pass
+    * (where it falls out of tokenization for free) through the h-count
+    * filter and the span merge, so the whole summary is one corpus read —
+    * the file's plan discipline. The previous form re-tokenized every
+    * document in a second scan and shuffled it into a join; both
+    * rollup groupBys here reuse the span window's
+    * `HashPartitioning(id)`, so past the h-exchange there are no
+    * further exchanges. */
   def duplicatedSummary(df: DataFrame, id: String, text: String,
       k: Int = 8): DataFrame = {
-    val spans = duplicatedSpans(df, id, text, k)
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val dup = windowHashes(df, id, text, k, withLen = true)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("c") >= 2)
+      .select(col(id), col("pos"), col("n_tokens"))
+    mergeSpans(dup, id, k, carry = Seq("n_tokens"))
       .groupBy(col(id))
       .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"),
-        count(lit(1)).as("n_spans"))
-    val nTok = df.select(col(id),
-      size(split(col(text), " ", -1)).cast("long").as("n_tokens"))
-    spans.join(nTok, id)
+        count(lit(1)).as("n_spans"), max(col("n_tokens")).as("n_tokens"))
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
       .select(col(id), col("n_tokens"), col("n_spans"), col("dup_tokens"),

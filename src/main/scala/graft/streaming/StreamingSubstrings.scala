@@ -30,9 +30,18 @@ import graft.dedup.ExactSubstrings
   * aggregate that can grow as long as the document, while the per-hash
   * state here stays O(1) forever.
   *
-  * Within one micro-batch, rows of a hash process in (doc, pos) order,
-  * so same-batch ties pick the same "first" site regardless of shuffle
-  * arrival order (the [[StreamingDedup]] determinism convention).
+  * Rows of a hash group stream through ONE AT A TIME — the group is
+  * never materialized, so a pathological corpus that concentrates one
+  * hash into one micro-batch (the repeated-token case the batch
+  * operator's scaladoc calls out) costs O(1) heap here, like the batch
+  * path's spill-safe WindowExec. No within-batch sort is needed for
+  * determinism of the emitted set: whenever a batch leaves a group with
+  * ≥ 2 total occurrences, EVERY site of the group emits (the retained
+  * first site included), so which arrival is recorded as "first" is
+  * observable only when the group still has exactly one occurrence —
+  * and then there is no tie. Only the `seen` labels of same-batch
+  * arrivals beyond the second reflect shuffle order; the accumulated
+  * (id, pos) site set — the batch-parity contract — is order-invariant.
   */
 object StreamingSubstrings {
 
@@ -73,22 +82,29 @@ object StreamingSubstrings {
       first = getHandle.getValueState("first_site",
         Encoders.product[FirstSite], TTLConfig.NONE)
 
+    /** Streams the group: no `toArray`, no sort — a skewed hash whose
+      * sites all land in one micro-batch passes through in O(1) heap
+      * (see the object scaladoc for why no sort is needed). State is
+      * updated per row, inside the lazily-consumed iterator, so the
+      * store always reflects exactly the rows whose output was
+      * produced — never a longer prefix than the framework drained. */
     override def handleInputRows(h: Long, rows: Iterator[WindowSite],
                                  timers: TimerValues): Iterator[DupSite] = {
-      val batch = rows.toArray.sortBy(s => (s.id, s.pos))
-      val out = scala.collection.mutable.ArrayBuffer.empty[DupSite]
       var st = if (first.exists()) first.get() else null
-      batch.foreach { s =>
-        if (st == null) st = FirstSite(s.id, s.pos, 1L)
-        else {
-          val seen = st.seen + 1L
-          if (st.seen == 1L) out += DupSite(st.id, st.pos, h, seen)
-          out += DupSite(s.id, s.pos, h, seen)
-          st = st.copy(seen = seen)
-        }
+      rows.flatMap { s =>
+        val out: List[DupSite] =
+          if (st == null) { st = FirstSite(s.id, s.pos, 1L); Nil }
+          else {
+            val seen = st.seen + 1L
+            val exposed =
+              if (st.seen == 1L) DupSite(st.id, st.pos, h, seen) :: Nil
+              else Nil
+            st = st.copy(seen = seen)
+            exposed :+ DupSite(s.id, s.pos, h, seen)
+          }
+        first.update(st)
+        out
       }
-      if (st != null) first.update(st)
-      out.iterator
     }
   }
 

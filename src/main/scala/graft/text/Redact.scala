@@ -33,9 +33,18 @@ object Redact {
     * favors recall; 999.0.0.1 redacts too). */
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
-  /** Exchange-dash-subscriber digit groups (555-0123), the most
-    * conservative phone shape that never fires on prose numerals. */
-  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+  /** Exchange-dash-subscriber digit groups (555-0123), anchored on both
+    * sides by `\b` so the shape never fires INSIDE a longer digit run:
+    * the year range "2023-2024" has no word boundary before the "023",
+    * so nothing matches (unanchored, it would redact "023-2024").
+    * `\b` is the ASCII word boundary in both Java regex and RE2, and is
+    * zero-width, so adjacent phones separated by one space both match
+    * (a consuming boundary group like `(^|[^0-9-])` would eat the
+    * separator and miss the second). Residual by design: a boundary
+    * next to a dash is still a boundary, so "555-0123-4567" redacts its
+    * first 3-4 shape to "<PHONE>-4567" — excluding that needs negative
+    * lookaround, which RE2 (the oracle's engine) does not support. */
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
 
   private def countMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")

@@ -30,8 +30,26 @@ import graft.dedup.{Clusters, Contamination, Dedup}
   * sf0.1). Prints one summary line per operator: route determinant,
   * route taken, wall seconds, result cardinality, and the parity diff
   * (must be 0).
+  *
+  * The witnesses also run as an OPT-IN spec
+  * (`graft.tools.RouteScaleSpec`, gated on `SPARK_GRAFT_SCALE_SPECS=1`)
+  * so the route evidence re-runs on one command instead of living only
+  * in round notes — both paths share [[ccWitness]] /
+  * [[contaminationWitness]].
   */
 object RouteScale {
+
+  /** CC route witness: determinant, route taken, and distributed-vs-
+    * forced-union-find parity at full volume. */
+  case class CcWitness(edges: Long, cap: Long, route: String, rounds: Int,
+                       sec: Double, labels: Long, parityDiff: Long,
+                       ufSec: Double)
+
+  /** Contamination route witness: determinant, route taken, and
+    * natural-vs-forced-broadcast parity at full volume. */
+  case class ContWitness(evalHashes: Long, cap: Long, route: String,
+                         sec: Double, rows: Long, parityDiff: Long,
+                         bcSec: Double)
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -48,29 +66,45 @@ object RouteScale {
     val contDocsDir = args.lift(1).getOrElse("target/sf20docs")
     val contOnly = args.contains("cont-only")
     val spark = GraftSession.localFromEnv()
+
+    if (!contOnly) {
+      val w = ccWitness(spark, ccDocsDir)
+      println(s"[route-scale] cc: edges=${w.edges} (cap=${w.cap})")
+      println(f"[route-scale] cc: route=${w.route} sec=${w.sec}%.1f " +
+        s"labels=${w.labels}")
+      println(f"[route-scale] cc: parity_vs_union_find_diff=${w.parityDiff} " +
+        f"(forced uf sec=${w.ufSec}%.1f)")
+    }
+
+    val w = contaminationWitness(spark, contDocsDir)
+    println(s"[route-scale] contamination: eval_hashes=${w.evalHashes} " +
+      s"(cap=${w.cap}) route=${w.route}")
+    println(f"[route-scale] contamination: natural sec=${w.sec}%.1f " +
+      s"rows=${w.rows}")
+    println(f"[route-scale] contamination: parity_vs_broadcast_diff=" +
+      f"${w.parityDiff} (forced broadcast sec=${w.bcSec}%.1f)")
+
+    spark.stop()
+  }
+
+  /** Contamination witness: route decided by the real eval hash volume. */
+  def contaminationWitness(spark: org.apache.spark.sql.SparkSession,
+                           contDocsDir: String): ContWitness = {
     val docs = spark.read.parquet(s"$contDocsDir/documents.parquet")
-
-    if (!contOnly) ccPhase(spark, ccDocsDir)
-
-    // ---- contamination: route decided by the real eval hash volume ----
     val evalSrcs = (0 until 5).map(i => s"src$i")
     val eval = docs.filter(col("source").isin(evalSrcs: _*))
     val train = docs.filter(!col("source").isin(evalSrcs: _*))
     val nEvalHashes = Dedup.docShingleArrays(eval, "doc_id", "text", 13)
       .select(explode(col("arr")).as("h")).distinct().count()
-    val routeTaken0 =
+    val route =
       if (nEvalHashes > Contamination.MaxBroadcastHashes) "inverted-index join"
       else "broadcast"
-    println(s"[route-scale] contamination: eval_hashes=$nEvalHashes " +
-      s"(cap=${Contamination.MaxBroadcastHashes}) route=$routeTaken0")
     val (reportJoin, tJoin) = timed {
       val r = Contamination.ngramOverlap(train, eval, "doc_id", "text")
         .localCheckpoint(true)
       run(r); r
     }
-    println(f"[route-scale] contamination: natural sec=$tJoin%.1f " +
-      s"rows=${reportJoin.count()}")
-    // Int.MaxValue - 1: the route probe runs limit(cap + 1) (see CC above).
+    // Int.MaxValue - 1: the route probe runs limit(cap + 1) (see CC below).
     val (reportBc, tBc) = timed {
       val r = Contamination.ngramOverlap(train, eval, "doc_id", "text",
         maxBroadcastHashes = Int.MaxValue - 1).localCheckpoint(true)
@@ -78,21 +112,17 @@ object RouteScale {
     }
     val contDiff = reportJoin.except(reportBc).count() +
       reportBc.except(reportJoin).count()
-    println(f"[route-scale] contamination: parity_vs_broadcast_diff=$contDiff " +
-      f"(forced broadcast sec=$tBc%.1f)")
-
-    spark.stop()
+    ContWitness(nEvalHashes, Contamination.MaxBroadcastHashes, route, tJoin,
+      reportJoin.count(), contDiff, tBc)
   }
 
-  private def ccPhase(spark: org.apache.spark.sql.SparkSession,
-                      ccDocsDir: String): Unit = {
+  /** CC witness: route decided by the real simhash edge stream. */
+  def ccWitness(spark: org.apache.spark.sql.SparkSession,
+                ccDocsDir: String): CcWitness = {
     val ccDocs = spark.read.parquet(s"$ccDocsDir/documents.parquet")
-
-    // ---- connected components: route decided by the real edge stream ----
     val pairs = Dedup.simhashPairs(ccDocs, "doc_id", "text")
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val nEdges = pairs.count()
-    println(s"[route-scale] cc: edges=$nEdges (cap=${Clusters.UnionFindMaxEdges})")
     val (starLabels, tStar) = timed {
       val (labels, rounds) = Clusters.ccWithIterations(pairs, "id_a", "id_b")
       val out = labels.localCheckpoint(true)
@@ -100,8 +130,6 @@ object RouteScale {
     }
     val (labelsStar, rounds) = starLabels
     val route = if (rounds == 0) "union-find" else s"star x$rounds"
-    println(f"[route-scale] cc: route=$route sec=$tStar%.1f " +
-      s"labels=${labelsStar.count()}")
     // Int.MaxValue - 1: the route probe runs limit(cap + 1), which must
     // not overflow Int.
     val ((labelsUf, ufRounds), tUf) = timed {
@@ -112,7 +140,7 @@ object RouteScale {
     require(ufRounds == 0, "forced union-find branch still iterated")
     val ccDiff = labelsStar.except(labelsUf).count() +
       labelsUf.except(labelsStar).count()
-    println(f"[route-scale] cc: parity_vs_union_find_diff=$ccDiff " +
-      f"(forced uf sec=$tUf%.1f)")
+    CcWitness(nEdges, Clusters.UnionFindMaxEdges, route, rounds, tStar,
+      labelsStar.count(), ccDiff, tUf)
   }
 }

@@ -20,11 +20,20 @@ import graft.GraftSession
   *     near-dup/shingle structure is preserved WITHIN a copy and shares
   *     nothing ACROSS copies — identical text copies would instead make
   *     every dedup pair count grow quadratically in the factor;
-  *   - `embeddings` rotates the vector by rep positions and NEGATES it
-  *     for reps beyond the dimension: norms, component distribution,
-  *     and within-copy cosine structure unchanged, but every copy up to
-  *     2·d is a distinct vector in a different LSH bucket / IVF cell —
-  *     no duplicate-vector artifact at factor 100 over 64 dims;
+  *   - `embeddings` rotates the vector by rep positions; each full lap
+  *     of rotations (rep / d) applies a per-lap ±1 SIGN PATTERN to the
+  *     components (lap 0: identity; lap 1: global negation — the
+  *     original scheme, so factors ≤ 2·d reproduce the r9 ladders
+  *     bit-for-bit; lap ≥ 2: a deterministic xxhash64 sign per
+  *     component). A sign pattern preserves norms EXACTLY and preserves
+  *     within-copy cosines exactly (⟨p⊙x, p⊙y⟩ = Σ p_i² x_i y_i =
+  *     ⟨x,y⟩), while copies of one base vector from different laps see
+  *     ⟨p⊙x, q⊙x⟩ = Σ p_i q_i x_i² ≈ 0 — so every copy is globally
+  *     distinct at ANY factor and no duplicate-vector artifact inflates
+  *     near-dup output (the original scheme repeated vectors exactly
+  *     beyond factor 2·d = 128 over 64 dims, which is why the ×1000
+  *     sf100 embeddings carried ~8 exact copies of each distinct
+  *     vector);
   *   - `events` keeps its timestamps (density grows, horizon fixed —
   *     how a busier venue looks) and shifts event/user ids.
   *
@@ -129,10 +138,16 @@ object ScaleUp {
       val rotated = when(rot === 0, col("embedding")).otherwise(
         concat(slice(col("embedding"), rot + 1, d - rot),
           slice(col("embedding"), lit(1), rot)))
-      // second lap of rotations (rep >= d) flips sign: same geometry per
-      // copy, globally distinct vectors up to factor 2d
-      val placed = when((col("__rep") / d).cast("int") % 2 === 0, rotated)
-        .otherwise(transform(rotated, x => -x))
+      // per-lap sign pattern (see scaladoc): lap 0 identity and lap 1
+      // global negation reproduce the original ≤2d scheme bit-for-bit;
+      // later laps get deterministic per-component xxhash64 signs, so
+      // copies stay globally distinct at any factor while norms and
+      // within-copy cosines are preserved exactly
+      val lap = (col("__rep") / d).cast("int")
+      val placed = when(lap === 0, rotated)
+        .when(lap === 1, transform(rotated, x => -x))
+        .otherwise(transform(rotated, (x, i) =>
+          when(pmod(xxhash64(lap, i), lit(2)) === 0, x).otherwise(-x)))
       write(reps(emb).select(shifted("vec_id", vecS),
         placed.as("embedding"), col("label")), "embeddings", 4)
     }

@@ -56,18 +56,29 @@ class ExactSubstringsSpec extends SparkSpecBase {
     assert(got === Seq((3L, 0L, 3L, 1L), (3L, 6L, 9L, 1L)))
   }
 
-  test("adjacent duplicated windows merge across gaps <= k") {
-    // two duplicated windows with a small gap between them merge into one
-    // span even though the tokens between are unique per doc
+  test("duplicated windows with gap > k stay separate spans") {
     val docs = Seq(
       10L -> "a b c GAP1 d e f",
       11L -> "a b c GAP2 d e f")
     val got = spans(docs, k = 3)
-    // pos 0 (a b c) and pos 4 (d e f) duplicated; gap 4 <= k? 4 - 0 = 4 > 3
+    // pos 0 (a b c) and pos 4 (d e f) duplicated; gap 4 - 0 = 4 > k=3
     // => NOT merged: two spans each
     assert(got === Seq(
       (10L, 0L, 3L, 1L), (10L, 4L, 7L, 1L),
       (11L, 0L, 3L, 1L), (11L, 4L, 7L, 1L)))
+  }
+
+  test("duplicated windows exactly k apart touch and merge into one span") {
+    // doc 10: "a b c" duplicated at pos 0 (vs doc 11) and "d e f" at
+    // pos 3 (vs doc 12); gap 3 - 0 = 3 == k => the windows touch
+    // ([0,3) + [3,6)) and merge into one span [0,6) of 2 windows
+    val docs = Seq(
+      10L -> "a b c d e f",
+      11L -> "a b c x y z",
+      12L -> "q r d e f s")
+    val got = spans(docs, k = 3)
+    assert(got === Seq(
+      (10L, 0L, 6L, 2L), (11L, 0L, 3L, 1L), (12L, 2L, 5L, 1L)))
   }
 
   test("docs shorter than k emit nothing; null text tolerated") {

@@ -86,4 +86,49 @@ class PairCacheSpec extends SparkSpecBase {
     }
     Similarity.clearPairCache()
   }
+
+  test("q70 then q84 pays the candidate stages ONCE (stage-count proof)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val dir = "/root/testdata/sf0.001"
+    val defs = graft.queries.VectorQueries.queries.toMap
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    }
+    // listener events post asynchronously: read the counter only after it
+    // has stopped moving, so each delta covers exactly one query's jobs
+    def settled(): Int = {
+      var prev = -1; var cur = stages.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = stages.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // cold: q84 with an empty pair cache submits the full
+      // candidate-generation + verify + clustering stage graph
+      Similarity.clearPairCache(); spark.catalog.clearCache()
+      val s0 = settled()
+      val alone = defs("q84_semantic_purge").fn(spark, dir).collect()
+      val cold = settled() - s0
+      // pipeline: q70 first (materialized through the harness's noop
+      // sink), then q84 — the memoized pair frame's cached partitions
+      // truncate q84's lineage, so its candidate stages are never
+      // SUBMITTED (DAGScheduler skips fully-cached parents)
+      Similarity.clearPairCache(); spark.catalog.clearCache()
+      defs("q70_embedding_neardup").fn(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val s1 = settled()
+      val piped = defs("q84_semantic_purge").fn(spark, dir).collect()
+      val warm = settled() - s1
+      assert(warm < cold,
+        s"q84 after q70 should skip candidate stages: warm=$warm cold=$cold")
+      // and reuse changes the plan's runtime only, never the rows
+      assert(piped.map(_.toString).sorted.toSeq ===
+        alone.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Similarity.clearPairCache()
+    }
+  }
 }

@@ -42,6 +42,25 @@ class RedactSpec extends SparkSpecBase {
     assert(t === "the quick brown fox 42 times")
   }
 
+  test("phone never fires inside longer digit-dash runs (year ranges)") {
+    val (e, i, p, t) = redactOne("fiscal 2023-2024 grew; window 12345-6789 too")
+    assert((e, i, p) === (0L, 0L, 0L))
+    assert(t === "fiscal 2023-2024 grew; window 12345-6789 too")
+  }
+
+  test("adjacent phones separated by one space both redact") {
+    // \b is zero-width: the separator is not consumed by the first match
+    val (e, i, p, t) = redactOne("call 555-0123 555-0124 now")
+    assert((e, i, p) === (0L, 0L, 2L))
+    assert(t === "call <PHONE> <PHONE> now")
+  }
+
+  test("phone requires a word boundary: letter-glued digits stay") {
+    val (_, _, p, t) = redactOne("sku X555-0123 is not a phone")
+    assert(p === 0L)
+    assert(t === "sku X555-0123 is not a phone")
+  }
+
   test("multiple occurrences all redact (global replace)") {
     val (e, _, _, t) = redactOne("a@b.co then c@d.org")
     assert(e === 2L)
