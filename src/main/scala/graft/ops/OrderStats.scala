@@ -4,14 +4,34 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
-/** Scalable EXACT grouped percentiles (SURVEY A12/A13 at scale).
+/** Scalable EXACT grouped percentiles (SURVEY A12/A13 at scale),
+  * SIZE-ROUTED on the number of distinct (spec, group, value) cells —
+  * the family convention ([[graft.dedup.Clusters]],
+  * [[graft.dedup.Contamination]]): a bounded probe picks the branch,
+  * both branches are exact, and a parity spec pins them identical.
   *
   * Spark's `percentile` aggregate is exact but buffers every value of a
   * group inside one aggregation buffer (a value→count map — fine for
   * low-cardinality ints, fatal for near-unique doubles): with a handful
   * of groups, a 100 TB table concentrates into a handful of executor
-  * buffers. The scalable exact idiom is DISTRIBUTED SELECTION over a
-  * range-partitioned sort, the same family as [[GlobalRank]]:
+  * buffers.
+  *
+  * **Histogram branch** (distinct cells ≤ [[HistogramMaxCells]] — the
+  * common analytic case: bounded-domain measures like quantities,
+  * prices in ticks, ratings): `groupBy(spec, group, value).count()`.
+  * The map-side partial aggregate collapses each task's stream to at
+  * most the cell count BEFORE the exchange, so shuffle bytes are
+  * O(cells), not O(rows); the ≤cells-row result collects to the driver
+  * (a bounded collect, like the route probe) which walks each (spec,
+  * group)'s value-sorted cumulative counts to the exact order
+  * statistics. One scan, one tiny exchange, no global sort. This is
+  * the aggregate's value→count map made distributed — the buffer that
+  * was fatal per-executor is fine as a driver-side result BECAUSE the
+  * probe bounded it first.
+  *
+  * **Sort branch** (near-unique values at scale) — distributed
+  * selection over a range-partitioned sort, the same family as
+  * [[GlobalRank]]:
   *
   *   1. melt the requested (valueCol, p) specs into one (spec, group,
   *      value) stream and `repartitionByRange` + `sortWithinPartitions`
@@ -25,21 +45,28 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *      per-partition local offsets via the histogram prefix sums, and
   *      one second pass extracts exactly those rows — a bounded collect
   *      of ≤ 2·specs·groups values;
-  *   4. linear interpolation on the driver, with Spark's own formula
-  *      ((hi−x)·v_lo + (x−lo)·v_hi) so results are bit-compatible with
-  *      the `percentile` aggregate.
+  *   4. cost: one shuffle (the range repartition) paid once — the second
+  *      pass re-reads the first pass's shuffle files (same RDD ⇒ map
+  *      stage skipped) and re-runs only the in-partition sort. Nothing
+  *      is cached, so the branch claims no executor storage at any
+  *      scale.
   *
-  * No assumption is made about the ordering of group keys — offsets are
-  * computed within each (spec, group) block from partition-order prefix
-  * sums, so any atomic group type works.
-  *
-  * Cost: one shuffle (the range repartition) paid once — the second pass
-  * re-reads the first pass's shuffle files (same RDD ⇒ map stage
-  * skipped) and re-runs only the in-partition sort. Nothing is cached,
-  * so the operator claims no executor storage at any scale. Null values
-  * are excluded, matching the aggregate.
+  * The route probe is `approx_count_distinct` over a hash of the cell —
+  * one scan, sketch-sized state, no data shuffle; HLL's few-percent
+  * error only moves the crossover, never correctness (both branches are
+  * exact). Interpolation is shared: Spark's own formula
+  * ((hi−x)·v_lo + (x−lo)·v_hi) on the floor/ceil order statistics, so
+  * results are bit-compatible with the `percentile` aggregate on either
+  * branch. No assumption is made about the ordering of group keys; any
+  * atomic group type works. Null values are excluded, matching the
+  * aggregate.
   */
 object OrderStats {
+
+  /** Histogram-branch cap on distinct (spec, group, value) cells — the
+    * driver holds one count per cell (≤ ~100 MB at the cap). Above it,
+    * the sort branch keeps everything distributed. */
+  val HistogramMaxCells: Long = 1000000L
 
   /** One percentile request: `value` column, percentile in [0, 1], and
     * the output column name. */
@@ -51,8 +78,8 @@ object OrderStats {
     * when that holds for every spec, matching what a grouped aggregate
     * over the melted non-null stream would return). Output schema:
     * (group, spec1.out, spec2.out, ...). */
-  def groupedPercentiles(df: DataFrame, group: String,
-                         specs: Seq[PctSpec]): DataFrame = {
+  def groupedPercentiles(df: DataFrame, group: String, specs: Seq[PctSpec],
+                         histogramMaxCells: Long = HistogramMaxCells): DataFrame = {
     require(specs.nonEmpty, "at least one percentile spec required")
     specs.foreach(s => require(s.p >= 0 && s.p <= 1,
       s"percentile must be in [0,1], got ${s.p}"))
@@ -62,6 +89,80 @@ object OrderStats {
           col(s.value).cast("double").as("v"))
         .where(col("v").isNotNull)
     }.reduce(_ union _)
+
+    // Route probe: distinct (spec, group, value) cells, approximately —
+    // a single scan with sketch-sized state (no shuffle of data rows).
+    val approxCells = melted
+      .agg(approx_count_distinct(
+        xxhash64(col("w"), col("g"), col("v"))).as("c"))
+      .collect()(0).getLong(0)
+    val (totals, picked) =
+      if (approxCells <= histogramMaxCells) histogramSelection(melted, specs)
+      else sortSelection(melted, specs)
+
+    // Interpolate with the percentile aggregate's own formula.
+    val groups = totals.keys.map(_._2).toSeq.distinct
+    val outRows = groups.map { g =>
+      val vals = specs.indices.map { w =>
+        totals.get((w, g)) match {
+          case None => null
+          case Some(n) =>
+            val x = specs(w).p * (n - 1)
+            val lo = math.floor(x).toLong
+            val hi = math.ceil(x).toLong
+            val vLo = picked((w, g, lo))
+            val res =
+              if (lo == hi) vLo
+              else (hi - x) * vLo + (x - lo) * picked((w, g, hi))
+            Double.box(res)
+        }
+      }
+      Row.fromSeq(g +: vals)
+    }
+    val gField = StructField(group, df.schema(group).dataType)
+    val schema = StructType(gField +: specs.map(s =>
+      StructField(s.out, DoubleType)).toArray.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), schema)
+  }
+
+  /** Histogram branch: value→count cells via one map-side-combined
+    * aggregation, order statistics from the driver-side cumulative walk.
+    * Returns (per-(spec, group) total counts, wanted order statistics). */
+  private def histogramSelection(melted: DataFrame, specs: Seq[PctSpec])
+      : (Map[(Int, Any), Long], Map[(Int, Any, Long), Double]) = {
+    val cells = melted.groupBy(col("w"), col("g"), col("v")).count().collect()
+    val byKey = cells.groupBy(r => (r.getInt(0), r.get(1)))
+    val totals: Map[(Int, Any), Long] =
+      byKey.view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val picked = Map.newBuilder[(Int, Any, Long), Double]
+    byKey.foreach { case (k @ (w, g), rows) =>
+      val n = totals(k)
+      val x = specs(w).p * (n - 1)
+      val want = Array(math.floor(x).toLong, math.ceil(x).toLong).distinct.sorted
+      var wi = 0
+      var cum = 0L
+      val sorted = rows.sortBy(_.getDouble(2))
+      var ri = 0
+      while (ri < sorted.length && wi < want.length) {
+        val r = sorted(ri)
+        val c = r.getLong(3)
+        while (wi < want.length && want(wi) < cum + c) {
+          picked += (((w, g, want(wi)), r.getDouble(2)))
+          wi += 1
+        }
+        cum += c
+        ri += 1
+      }
+    }
+    (totals, picked.result())
+  }
+
+  /** Sort branch: distributed selection over one range-partitioned sort
+    * whose shuffle both passes share. */
+  private def sortSelection(melted: DataFrame, specs: Seq[PctSpec])
+      : (Map[(Int, Any), Long], Map[(Int, Any, Long), Double]) = {
+    val spark = melted.sparkSession
     // Range partitioning splits big (w, g) blocks across partitions; the
     // within-partition sort completes the distributed order. NO explicit
     // storage between the two passes, deliberately: `Dataset.rdd` is a
@@ -146,29 +247,6 @@ object OrderStats {
         }
       }.collect().toMap
 
-    // Interpolate with the percentile aggregate's own formula.
-    val groups = totals.keys.map(_._2).toSeq.distinct
-    val outRows = groups.map { g =>
-      val vals = specs.indices.map { w =>
-        totals.get((w, g)) match {
-          case None => null
-          case Some(n) =>
-            val x = specs(w).p * (n - 1)
-            val lo = math.floor(x).toLong
-            val hi = math.ceil(x).toLong
-            val vLo = picked((w, g, lo))
-            val res =
-              if (lo == hi) vLo
-              else (hi - x) * vLo + (x - lo) * picked((w, g, hi))
-            Double.box(res)
-        }
-      }
-      Row.fromSeq(g +: vals)
-    }
-    val gField = StructField(group, df.schema(group).dataType)
-    val schema = StructType(gField +: specs.map(s =>
-      StructField(s.out, DoubleType)).toArray.toSeq)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows, 1), schema)
+    (totals.toMap, picked)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Redact, TextMetrics}
+import graft.text.{Dsir, Redact, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -485,6 +485,44 @@ object TextQueries extends QueryPack {
           md5(t3) AS redacted_md5
         FROM s3 ORDER BY doc_id"""
       },
-      "PII scrub: email/IPv4/phone detect + redact with per-doc counts")
+      "PII scrub: email/IPv4/phone detect + redact with per-doc counts"),
+
+    // DSIR importance weights (Xie et al. 2023): every raw-pool doc
+    // scored by the likelihood ratio of its hashed unigram+bigram bag
+    // under the target (src0) vs raw feature distributions — the
+    // data-selection scorer. Two scans (stats must close before any doc
+    // scores), one <=4096-row exchange, scoring is pure map work; the
+    // oracle replays the identical hashed-multinomial pipeline, with
+    // round(...,6) absorbing cross-engine summation-order ULP like the
+    // cosine family.
+    "q87_dsir_weights" -> QueryDef(
+      (s, dir) => Dsir.importanceWeights(
+          balanced(Tables.documents(s, dir)), "doc_id", "text",
+          col("source") === "src0")
+        .orderBy(col("doc_id")),
+      Some {
+        val B = Dsir.NumBuckets
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM documents),
+        uni AS (SELECT doc_id, source, unnest(toks) AS g FROM t),
+        big AS (SELECT doc_id, source,
+          unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+          FROM t),
+        feats AS (SELECT doc_id, source,
+            ('0x' || substr(md5(g), 1, 15))::BIGINT % $B AS b, count(*) AS c
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) GROUP BY 1, 2, 3),
+        tot AS (SELECT b, sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS ct,
+                       sum(CASE WHEN source <> 'src0' THEN c ELSE 0 END) AS cr
+                FROM feats GROUP BY 1),
+        sums AS (SELECT sum(ct) AS st, sum(cr) AS sr FROM tot),
+        lr AS (SELECT b, ln((ct + 1.0) / (st + $B.0))
+                        - ln((cr + 1.0) / (sr + $B.0)) AS lr FROM tot, sums)
+        SELECT f.doc_id, sum(f.c)::BIGINT AS n_features,
+          round(sum(f.c * lr.lr), 6) AS logw
+        FROM feats f JOIN lr USING (b)
+        WHERE f.source <> 'src0'
+        GROUP BY 1 ORDER BY 1"""
+      },
+      "DSIR hashed n-gram importance weights (target vs raw corpus)")
   )
 }

@@ -66,4 +66,39 @@ class OrderStatsSpec extends SparkSpecBase {
     assert(got(1L) === Seq(5.5))
     assert(got(2L) === Seq(9.0))
   }
+
+  test("histogram and sort branches agree bit-for-bit (route parity)") {
+    // near-unique doubles AND heavy duplicates mixed, so both branch
+    // mechanics (cumulative cell walk vs range-sort offset extraction)
+    // are exercised on ties and on singletons
+    val rows = (1 to 8000).map { i =>
+      val g = s"g${i % 5}"
+      val v = if (i % 3 == 0) (i % 25).toDouble // duplicate-heavy
+              else math.cos(i * 78.233) * 12345.6789 % 50.0
+      (g, v)
+    }
+    val df = rows.toDF("k", "v").repartition(16)
+    val specs = Seq(PctSpec("v", 0.5, "med"), PctSpec("v", 0.95, "p95"),
+      PctSpec("v", 0.0, "lo"), PctSpec("v", 1.0, "hi"))
+    // default cap -> histogram branch; cap 0 -> forced sort branch
+    val hist = asMap(
+      OrderStats.groupedPercentiles(df, "k", specs).collect(), specs.length)
+    val sort = asMap(OrderStats.groupedPercentiles(df, "k", specs,
+      histogramMaxCells = 0L).collect(), specs.length)
+    assert(hist.keySet === sort.keySet)
+    hist.keySet.foreach { k =>
+      (hist(k) zip sort(k)).foreach { case (a, b) =>
+        // bit-for-bit: both branches pick the same order statistics and
+        // share one interpolation
+        assert(a.asInstanceOf[Double] === b.asInstanceOf[Double], s"group $k")
+      }
+    }
+    // and both match the aggregate
+    val want = asMap(viaAggregate(df, "k", specs).collect(), specs.length)
+    hist.keySet.foreach { k =>
+      (hist(k) zip want(k)).foreach { case (a, b) =>
+        assert(a.asInstanceOf[Double] === b.asInstanceOf[Double], s"group $k")
+      }
+    }
+  }
 }
