@@ -29,14 +29,21 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val spark = GraftSession.localFromEnv()
+    // `var`: a query failure that takes the SparkContext down with it
+    // (executor OOM in local mode stops the context) must not cascade —
+    // the round-10 sf10 full-suite run lost 11 healthy queries to one
+    // crash. After any failure the harness checks the context and
+    // rebuilds the session, so each query is measured on a live engine.
+    var spark = GraftSession.localFromEnv()
     // warmup: JVM + parquet reader + codegen paths. Subset ladder dirs
     // (SPARK_GRAFT_BENCH_ONLY generations) may carry only the tables the
     // subset reads — warm on the first table present.
     val warmTable = Seq("lineitem", "documents", "events", "embeddings")
       .find(t => java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$sfDir/$t.parquet")))
-    warmTable.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    def warm(): Unit =
+      warmTable.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    warm()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) &&
@@ -49,8 +56,15 @@ object Bench {
           // A crashed run's elapsed time is NOT a measurement: record the
           // failure in the JSON itself (no silent caps convention) so a
           // downstream reader can never mistake a crash for a slow run.
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: $e")
+          e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
           failed += name
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext died during $name — " +
+              "rebuilding the session so later queries still measure")
+            spark = GraftSession.localFromEnv()
+            warm()
+          }
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop per-query caches (dedup/similarity intermediates) so they

@@ -37,4 +37,37 @@ object GlobalRank {
     }
     spark.createDataFrame(out, sorted.schema.add(rankCol, LongType, nullable = false))
   }
+
+  /** Append `offsetCol` = the EXCLUSIVE running sum of `valueCol` (a long
+    * column) in `order` — `sum(v) OVER (ORDER BY …) − v` without the
+    * single-partition window. Same two-pass shape as [[withRowNumber]]:
+    * a range-partitioned distributed sort, then one lightweight job that
+    * reduces each partition to its value SUM (driver state =
+    * O(partitions), exactly what `zipWithIndex`'s count pass holds), a
+    * broadcast of the cumulative partition offsets, and a single stamping
+    * pass. The second job reuses the first's shuffle files (same RDD
+    * lineage — the map stage is skipped). `order` must be a total order. */
+  def withRunningOffset(df: DataFrame, order: Seq[Column], valueCol: String,
+                        offsetCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (p, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator.single((p, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(p) = sum of parts < p
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      var acc = bc.value(p)
+      it.map { r =>
+        val stamped = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(vIdx)
+        stamped
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(offsetCol, LongType, nullable = false))
+  }
 }

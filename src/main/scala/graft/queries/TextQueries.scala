@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Dsir, Redact, TextMetrics}
+import graft.text.{Curation, Dsir, Packing, Redact, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -523,6 +523,83 @@ object TextQueries extends QueryPack {
         WHERE f.source <> 'src0'
         GROUP BY 1 ORDER BY 1"""
       },
-      "DSIR hashed n-gram importance weights (target vs raw corpus)")
+      "DSIR hashed n-gram importance weights (target vs raw corpus)"),
+
+    // Corpus curation capstone: the C4/Gopher-style keep/drop decision
+    // table, every signal from ONE mapPartitions scan + one digest
+    // exchange (a metrics ⋈ repetition ⋈ dedup composition would read
+    // the corpus three times — the q85 plan-audit lesson). Signal
+    // semantics are exactly q25/q82/q26's, so the oracle reuses their
+    // proven SQL forms; thresholds sit where this corpus genuinely
+    // splits (keeps AND all-reason drops at sf0.01).
+    "q88_corpus_curation" -> QueryDef(
+      (s, dir) => Curation.decide(balanced(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some {
+        val r = Curation.Rules()
+        val sw = TextMetrics.LangMarkers.toMap.apply("en")
+          .map(w => s"len(list_filter(toks, t -> t = '$w'))")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+             FROM documents),
+        g2 AS (SELECT doc_id,
+          unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+          FROM t),
+        c2 AS (SELECT doc_id, max(c) AS topc
+          FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        base AS (SELECT t.doc_id,
+            len(toks)::BIGINT AS n_tokens,
+            round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 4)
+              AS avg_token_len,
+            round(($sw)::DOUBLE / len(toks), 4) AS stopword_ratio,
+            round(coalesce(2 * c2.topc, 0)::DOUBLE / len(toks), 6)
+              AS top2gram_frac,
+            min(t.doc_id) OVER (PARTITION BY md5(text)) <> t.doc_id AS is_dup
+          FROM t LEFT JOIN c2 USING (doc_id)),
+        d AS (SELECT *,
+          CASE WHEN is_dup THEN 'exact_dup'
+               WHEN n_tokens < ${r.minTokens} THEN 'too_short'
+               WHEN n_tokens > ${r.maxTokens} THEN 'too_long'
+               WHEN avg_token_len < ${r.minAvgTokenLen}
+                 OR avg_token_len > ${r.maxAvgTokenLen} THEN 'bad_token_len'
+               WHEN stopword_ratio < ${r.minStopwordRatio} THEN 'low_stopword'
+               WHEN top2gram_frac > ${r.maxTop2gramFrac} THEN 'repetitive'
+               ELSE 'keep' END AS verdict
+          FROM base)
+        SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+          top2gram_frac, is_dup, verdict, verdict = 'keep' AS keep
+        FROM d ORDER BY doc_id"""
+      },
+      "Corpus curation: Gopher-style keep/drop decisions, one scan + one exchange"),
+
+    // Sequence packing (GPT-style concatenate-and-chunk): each doc's
+    // global token offset comes from the two-pass distributed prefix sum
+    // (GlobalRank.withRunningOffset — no single-partition window), then
+    // boundary-crossing docs explode into per-window fragments with pure
+    // codegen'd arithmetic. The oracle's window cumsum is the semantic
+    // spec; the Spark side refuses to execute it that way.
+    "q89_sequence_packing" -> QueryDef(
+      (s, dir) => Packing.fragments(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", seqLen = 256L)
+        .orderBy(col("doc_id"), col("seq_id")),
+      Some {
+        val L = 256
+        s"""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+             FROM documents),
+        c AS (SELECT doc_id, n,
+          (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+            AS start FROM t),
+        f AS (SELECT doc_id, n, start,
+          unnest(range(start // $L, (start + n - 1) // $L + 1)) AS seq_id
+          FROM c)
+        SELECT doc_id, seq_id,
+          (greatest(start, seq_id * $L) - start)::BIGINT AS doc_off,
+          (greatest(start, seq_id * $L) - seq_id * $L)::BIGINT AS seq_off,
+          (least(start + n, (seq_id + 1) * $L) - greatest(start, seq_id * $L))::BIGINT
+            AS n_toks
+        FROM f ORDER BY doc_id, seq_id"""
+      },
+      "Sequence packing: fixed-length training windows via distributed prefix sum")
   )
 }

@@ -217,9 +217,18 @@ object Similarity {
     * the entries — a later hit on such an entry simply recomputes
     * lazily and re-persists (see [[cosineNearDupPairsCached]]). */
   def clearPairCache(): Unit = pairCache.synchronized {
-    pairCache.valuesIterator.foreach(_.pairs.unpersist(blocking = false))
+    pairCache.valuesIterator.foreach(e => safeUnpersist(e.pairs))
     pairCache.clear()
   }
+
+  /** Unpersist that tolerates a stopped owning session. Entries keyed to
+    * a session that has since died (the Bench harness rebuilds its
+    * session after a context-killing failure) can't be unpersisted —
+    * their storage died with the context — and the attempt must not
+    * throw into an unrelated caller's eviction path. */
+  private def safeUnpersist(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case _: Throwable => () }
 
   /** [[cosineNearDupPairs]] with CROSS-OPERATOR reuse: the routed pair
     * stream is persisted and memoized on the (session, input plan,
@@ -283,7 +292,7 @@ object Similarity {
               if (pairCache.size > pairCacheCap) {
                 val (k0, e0) = pairCache.head
                 pairCache.remove(k0)
-                e0.pairs.unpersist(blocking = false)
+                safeUnpersist(e0.pairs)
               }
               pairs
           }

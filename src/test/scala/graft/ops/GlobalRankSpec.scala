@@ -31,4 +31,27 @@ class GlobalRankSpec extends SparkSpecBase {
     // and the executed plan contains no Window at all
     assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("withRunningOffset equals the unpartitioned exclusive cumsum") {
+    val vals = (1 to 500).map(i => (i.toLong, (i * 31 % 17 + 1).toLong))
+      .toDF("id", "n")
+    val got = GlobalRank.withRunningOffset(
+        vals.repartition(9), Seq(col("id")), "n", "start")
+      .select(col("id"), col("start")).as[(Long, Long)].collect().toMap
+    val want = vals
+      .withColumn("start",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("id"), col("start")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("withRunningOffset runs multi-partition with no Window node") {
+    val vals = (1 to 300).map(i => (i.toLong, 3L)).toDF("id", "n")
+    val out = GlobalRank.withRunningOffset(
+      vals.repartition(7), Seq(col("id")), "n", "start")
+    assert(out.rdd.getNumPartitions > 1)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
