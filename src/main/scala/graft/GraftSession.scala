@@ -37,6 +37,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
+      // Shuffle files are deleted only when the driver GCs the dependency
+      // objects; the default periodic-GC interval (30 min) lets a
+      // multi-run bench session accumulate every completed run's shuffle
+      // output on disk — the 4M-vector q84 ladder run filled the disk
+      // with ~6 finished runs' files before its own shuffle could write.
+      // 5 min bounds the on-disk footprint to roughly one run's worth.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
