@@ -477,7 +477,7 @@ object Dedup {
     * multiplicity product. At ~10³ shingles/doc the per-doc probability
     * is ~10⁻¹², and the DuckDB oracle's join form would diverge
     * identically from the true string-shingle Jaccard. */
-  private[dedup] def verifyJaccardArrays(docs: DataFrame, id: String,
+  private[graft] def verifyJaccardArrays(docs: DataFrame, id: String,
                                   cand: DataFrame,
                                   threshold: Double): DataFrame =
     cand
@@ -634,6 +634,23 @@ object Dedup {
                    maxDf: Int = DefaultMaxDf,
                    prefixHotDf: Int = 512,
                    prefixTopK: Int = 0): DataFrame = {
+    val (docs, cand) =
+      ppjoinDocsAndCandidates(df, id, text, n, threshold, maxDf,
+        prefixHotDf, prefixTopK)
+    verifyJaccardArrays(docs.select(col(id), col("arr"), col("sz")),
+      id, cand, threshold)
+  }
+
+  /** The PPJoin pipeline split at the candidate boundary: (per-doc
+    * shingle-array table, deduped candidate pair stream). Exactly
+    * [[ngramJaccard]] minus the verify join — exposed package-wide so
+    * `tools/NgramCensus` can count the candidates the verify stage pays
+    * for (scale-exponent attribution: candidate volume is a corpus
+    * property; verify cost is proportional to it). */
+  private[graft] def ppjoinDocsAndCandidates(df: DataFrame, id: String,
+      text: String, n: Int, threshold: Double,
+      maxDf: Int = DefaultMaxDf, prefixHotDf: Int = 512,
+      prefixTopK: Int = 0): (DataFrame, DataFrame) = {
     val idType = df.schema(id).dataType
     idOrdering(idType) // loud type validation up-front, both kernel paths
     val arrs = docShingleArrays(df, id, text, n).cache()
@@ -643,9 +660,7 @@ object Dedup {
     val docs = ppjoinDocsKernel(arrs, id, threshold, hot, stop)
     val prefixed = docs.select(col(id).as("__id"), col("sz"),
       posexplode(col("pre")).as(Seq("pos", "shingle")))
-    val cand = ppjoinCandidates(prefixed, idType, threshold)
-    verifyJaccardArrays(docs.select(col(id), col("arr"), col("sz")),
-      id, cand, threshold)
+    (docs, ppjoinCandidates(prefixed, idType, threshold))
   }
 
   /** The round-5 DIRECT form of [[ngramJaccard]], kept as the parity

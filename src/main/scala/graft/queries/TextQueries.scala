@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Curation, Dsir, Packing, Redact, TextMetrics}
+import graft.text.{Curation, Dsir, LangModel, Packing, Redact, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -600,6 +600,48 @@ object TextQueries extends QueryPack {
             AS n_toks
         FROM f ORDER BY doc_id, seq_id"""
       },
-      "Sequence packing: fixed-length training windows via distributed prefix sum")
+      "Sequence packing: fixed-length training windows via distributed prefix sum"),
+
+    // CCNet-style quality gate: bigram-LM perplexity under a model
+    // trained on the trusted src0 slice (the contamination check's
+    // held-out framing reused). The oracle replays the identical
+    // Laplace term — counts are exact longs, one double division, one
+    // ln — and both sides round nll before exp'ing it, so ppl is
+    // deterministic across engines.
+    "q90_lm_perplexity" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        LangModel.perplexity(
+          balanced(docs.filter(col("source") =!= "src0")),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM documents),
+        rg AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                              for i in range(1, len(toks))]) AS g
+               FROM t WHERE source = 'src0'),
+        bc AS (SELECT g, count(*) AS c_uw FROM rg GROUP BY 1),
+        ru AS (SELECT unnest(toks) AS u FROM t WHERE source = 'src0'),
+        uc AS (SELECT u, count(*) AS c_u FROM ru GROUP BY 1),
+        vv AS (SELECT count(*) AS v FROM uc),
+        cg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                                      for i in range(1, len(toks))]) AS g
+               FROM t WHERE source <> 'src0'),
+        cu AS (SELECT doc_id, g, string_split(g, ' ')[1] AS u FROM cg),
+        sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                 sum(CASE WHEN bc.c_uw IS NULL THEN 1 ELSE 0 END) AS oov,
+                 sum(-ln((coalesce(bc.c_uw, 0) + 1)::DOUBLE
+                         / (coalesce(uc.c_u, 0) + vv.v))) AS s
+               FROM cu LEFT JOIN bc USING (g) LEFT JOIN uc USING (u)
+                    CROSS JOIN vv
+               GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+          round(oov::DOUBLE / n_bigrams, 6) AS oov_frac,
+          round(s / n_bigrams, 6) AS nll,
+          round(exp(round(s / n_bigrams, 6)), 4) AS ppl
+        FROM sc ORDER BY doc_id"""),
+      "Bigram-LM perplexity quality score (CCNet-style, src0-trained, Laplace)")
   )
 }
