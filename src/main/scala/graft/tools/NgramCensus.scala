@@ -17,8 +17,9 @@ import graft.dedup.Dedup
   *
   * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.NgramCensus
   * <dir> [n] [threshold]"` — prints one JSON line with the doc count,
-  * candidate pair count, verified (jaccard ≥ t) pair count, and the max
-  * per-doc candidate degree (skew witness).
+  * enumerated (pre-prune) pair count, surviving candidate pair count,
+  * verified (jaccard ≥ t) pair count, and the max per-doc candidate
+  * degree (skew witness).
   */
 object NgramCensus {
   def main(args: Array[String]): Unit = {
@@ -32,6 +33,20 @@ object NgramCensus {
 
     val (docs, cand) = Dedup.ppjoinDocsAndCandidates(
       docsIn, "doc_id", "text", n, threshold)
+    // Enumerated (pre-prune) pair work: the candidate kernel scans
+    // C(len, 2) ordered pairs per prefix posting list regardless of how
+    // many survive the length/positional bounds — the quantity the
+    // generation stage's time is actually proportional to.
+    val enumerated = docs
+      .select(posexplode(col("pre")).as(Seq("pos", "shingle")))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("len"))
+      .agg(sum(col("len") * (col("len") - 1) / 2).as("pairs"))
+      .collect()(0).getAs[Any](0) match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.longValue
+        case l: java.lang.Long => l.longValue
+        case x => x.toString.toDouble.toLong
+      }
     // The candidate stream feeds three consumers (count, degree census,
     // verify); persist so the expensive generation pass runs once.
     cand.persist(StorageLevel.DISK_ONLY)
@@ -46,8 +61,8 @@ object NgramCensus {
       "doc_id", cand, threshold).count()
 
     println(s"""{"dir":"$dir","n":$n,"threshold":$threshold,""" +
-      s""""docs":$nDocs,"candidates":$nCand,"verified":$nVerified,""" +
-      s""""max_cand_degree":$deg}""")
+      s""""docs":$nDocs,"enumerated":$enumerated,"candidates":$nCand,""" +
+      s""""verified":$nVerified,"max_cand_degree":$deg}""")
     spark.stop()
   }
 }
