@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -11,6 +14,40 @@ package graft
   * computed columns.
   */
 object Bench {
+
+  /** Sums executor task metrics so each query's runs can be attributed
+    * to the MEMORY REGIME they executed in, not just wall time: spill
+    * bytes (the number that explains a local >1 time exponent over
+    * measured-linear work), shuffle IO, GC, and the peak single-task
+    * execution memory. Counters reset at each query boundary after a
+    * listener-bus drain, so deltas are exact per query.
+    *
+    * `gc_s` sums per-task jvmGCTime: concurrent tasks in one local JVM
+    * share each GC pause, so the sum reads as GC-pressure-weighted task
+    * time (an upper bound on wall GC), not wall seconds.
+    */
+  private final class TaskMetricsCensus extends SparkListener {
+    val diskSpill = new AtomicLong
+    val memSpill = new AtomicLong
+    val shufWrite = new AtomicLong
+    val shufRead = new AtomicLong
+    val gcMs = new AtomicLong
+    val peakTaskMem = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        gcMs.addAndGet(m.jvmGCTime)
+        peakTaskMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+    def reset(): Unit =
+      Seq(diskSpill, memSpill, shufWrite, shufRead, gcMs, peakTaskMem)
+        .foreach(_.set(0L))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // A21: optional median-of-N per query (reference benchmark protocol:
@@ -35,6 +72,8 @@ object Bench {
     // crash. After any failure the harness checks the context and
     // rebuilds the session, so each query is measured on a live engine.
     var spark = GraftSession.localFromEnv()
+    val census = new TaskMetricsCensus
+    spark.sparkContext.addSparkListener(census)
     // warmup: JVM + parquet reader + codegen paths. Subset ladder dirs
     // (SPARK_GRAFT_BENCH_ONLY generations) may carry only the tables the
     // subset reads — warm on the first table present.
@@ -45,10 +84,15 @@ object Bench {
       warmTable.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     warm()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val metricsOut =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def drain(): Unit = org.apache.spark.graftbridge.ListenerDrain
+      .drain(spark.sparkContext)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) &&
         !skip.contains(name) }
       .map { case (name, fn) =>
+      drain(); census.reset()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -63,6 +107,7 @@ object Bench {
             System.err.println(s"[bench] SparkContext died during $name — " +
               "rebuilding the session so later queries still measure")
             spark = GraftSession.localFromEnv()
+            spark.sparkContext.addSparkListener(census)
             warm()
           }
         }
@@ -76,6 +121,19 @@ object Bench {
       val mid = times.length / 2
       val med = if (times.length % 2 == 1) times(mid)
                 else (times(mid - 1) + times(mid)) / 2.0
+      drain()
+      // Locale-proof decimal formatting (the BenchCertify Locale.ROOT
+      // lesson): BigDecimal, never an f-interpolator.
+      def dec(v: Double, scale: Int): String =
+        BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+      def gb(v: Long): String = dec(v.toDouble / runs / 1e9, 3)
+      metricsOut(name) =
+        s"""{"disk_spill_gb":${gb(census.diskSpill.get)},""" +
+        s""""mem_spill_gb":${gb(census.memSpill.get)},""" +
+        s""""shuffle_write_gb":${gb(census.shufWrite.get)},""" +
+        s""""shuffle_read_gb":${gb(census.shufRead.get)},""" +
+        s""""gc_s":${dec(census.gcMs.get.toDouble / runs / 1e3, 1)},""" +
+        s""""peak_task_mem_mb":${dec(census.peakTaskMem.get / 1e6, 0)}}"""
       name -> med
     }
     // 3-decimal seconds: millisecond resolution is plenty, and the compact
@@ -119,6 +177,17 @@ object Bench {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out + ".plans.txt"), plans.mkString("\n"))
+    // Memory-regime sidecar: per-query executor metrics (per-run means;
+    // peak is a max), so a scale-ladder artifact carries the evidence of
+    // WHICH regime it ran in — a >1 decade time exponent with linear
+    // work volume and exploding spill bytes is a local-JVM artifact, not
+    // an operator property.
+    val metricsJson = metricsOut
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{\"unit\":\"per-run mean over " + runs + " run(s)\",\"queries\":{",
+        ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out + ".metrics.json"), metricsJson + "\n")
     spark.stop()
   }
 }

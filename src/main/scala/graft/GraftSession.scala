@@ -32,7 +32,14 @@ object GraftSession {
       // deployment-grade extension wiring: custom functions, the native
       // as-of planner strategy, and the ASOF JOIN parser/resolution pair
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Default: one shuffle partition per core (the driver contract at
+      // sf0.1). SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale-ladder
+      // runs: a cluster sizes partition count to DATA (executors × cores,
+      // or AQE), and holding it at 32 while data grows 100× grows every
+      // per-task working set 100× — the sf100 census measured the result
+      // as ×52 GC growth on exactly-linear work and shuffle volume.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
