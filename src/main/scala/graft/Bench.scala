@@ -91,50 +91,74 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) &&
         !skip.contains(name) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       drain(); census.reset()
-      val times = (1 to runs).map { _ =>
+      // A crashed run's elapsed time is NOT a measurement: only
+      // successful runs enter `times` (and so the median); failures are
+      // recorded in the JSON's errors array, and a query with zero
+      // successful runs is omitted from the queries map entirely so a
+      // fast-fail crash can never deflate the reported median.
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // A crashed run's elapsed time is NOT a measurement: record the
-          // failure in the JSON itself (no silent caps convention) so a
-          // downstream reader can never mistake a crash for a slow run.
-          System.err.println(s"[bench] $name failed: $e")
-          e.getStackTrace.take(8).foreach(f => System.err.println(s"    at $f"))
-          failed += name
-          if (spark.sparkContext.isStopped) {
-            System.err.println(s"[bench] SparkContext died during $name — " +
-              "rebuilding the session so later queries still measure")
-            spark = GraftSession.localFromEnv()
-            spark.sparkContext.addSparkListener(census)
-            warm()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
           }
-        }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            e.getStackTrace.take(8)
+              .foreach(f => System.err.println(s"    at $f"))
+            failed += name
+            if (spark.sparkContext.isStopped) {
+              System.err.println(s"[bench] SparkContext died during $name — " +
+                "rebuilding the session so later queries still measure")
+              spark = GraftSession.localFromEnv()
+              spark.sparkContext.addSparkListener(census)
+              warm()
+              // The rebuild's warmup tasks must not fold into this
+              // query's metrics row: drain the listener bus, then zero
+              // the census. (Earlier successful runs' metrics go with
+              // it — the row is marked unreliable below anyway.)
+              drain(); census.reset()
+            }
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop per-query caches (dedup/similarity intermediates) so they
         // don't accumulate heap pressure across the 45-query session.
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }.sorted
+      val okRuns = times.length
       // true median: mean of the two middle samples when runs is even
       val mid = times.length / 2
-      val med = if (times.length % 2 == 1) times(mid)
+      val med = if (times.isEmpty) Double.NaN
+                else if (times.length % 2 == 1) times(mid)
                 else (times(mid - 1) + times(mid)) / 2.0
       drain()
       // Locale-proof decimal formatting (the BenchCertify Locale.ROOT
       // lesson): BigDecimal, never an f-interpolator.
       def dec(v: Double, scale: Int): String =
         BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-      def gb(v: Long): String = dec(v.toDouble / runs / 1e9, 3)
+      // Per-run averages divide by SUCCESSFUL runs, not the requested
+      // count; a row touched by any failure is flagged unreliable (a
+      // crash's partial task metrics, and possibly a census reset, make
+      // its deltas unattributable).
+      val denom = math.max(okRuns, 1)
+      def gb(v: Long): String = dec(v.toDouble / denom / 1e9, 3)
+      val unreliable =
+        if (failed.contains(name)) s""","unreliable":true,"ok_runs":$okRuns"""
+        else ""
       metricsOut(name) =
         s"""{"disk_spill_gb":${gb(census.diskSpill.get)},""" +
         s""""mem_spill_gb":${gb(census.memSpill.get)},""" +
         s""""shuffle_write_gb":${gb(census.shufWrite.get)},""" +
         s""""shuffle_read_gb":${gb(census.shufRead.get)},""" +
-        s""""gc_s":${dec(census.gcMs.get.toDouble / runs / 1e3, 1)},""" +
-        s""""peak_task_mem_mb":${dec(census.peakTaskMem.get / 1e6, 0)}}"""
-      name -> med
+        s""""gc_s":${dec(census.gcMs.get.toDouble / denom / 1e3, 1)},""" +
+        s""""peak_task_mem_mb":${dec(census.peakTaskMem.get / 1e6, 0)}""" +
+        unreliable + "}"
+      if (okRuns == 0) None else Some(name -> med)
     }
     // 3-decimal seconds: millisecond resolution is plenty, and the compact
     // line survives log-tail capture (a full-precision 69-query line is

@@ -228,7 +228,9 @@ object Similarity {
     * throw into an unrelated caller's eviction path. */
   private def safeUnpersist(df: DataFrame): Unit =
     try df.unpersist(blocking = false)
-    catch { case _: Throwable => () }
+    // NonFatal only: a stopped-session IllegalStateException is the case
+    // this tolerates; OOM/InterruptedException must still propagate.
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** [[cosineNearDupPairs]] with CROSS-OPERATOR reuse: the routed pair
     * stream is persisted and memoized on the (session, input plan,

@@ -120,6 +120,12 @@ object LangModel {
       .mapPartitions { rows =>
         val uniM = uniBc.value; val biM = biBc.value
         rows.flatMap { r =>
+          // Family null convention (Curation/Dsir/TextMetrics kernels):
+          // null id or null text drops the row. Without the guard, a
+          // null split result NPEs the broadcast route while the join
+          // route silently drops the same row — route-divergent.
+          if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+          else {
           val toks = r.getSeq[String](1)
           val n = toks.length
           if (n < 2) Iterator.empty
@@ -137,6 +143,7 @@ object LangModel {
             }
             Iterator.single(Row(r.get(0), (n - 1).toLong, oov, s))
           }
+          }
         }
       }(Encoders.row(outSchema))
   }
@@ -144,6 +151,10 @@ object LangModel {
   private def scoreJoined(corpus: DataFrame, id: String, text: String,
       uniCounts: DataFrame, biCounts: DataFrame, v: Long): DataFrame = {
     val exploded = corpus
+      // Null id drops the row (family convention, matching the
+      // broadcast kernel's isNullAt guard); null text already drops via
+      // the size filter (size(null) is null).
+      .filter(col(id).isNotNull)
       .select(col(id), split(col(text), " ").as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(col(id), explode(bigramsOf(col("__toks"))).as("g"))

@@ -40,12 +40,14 @@ object NgramCensus {
     val enumerated = docs
       .select(posexplode(col("pre")).as(Seq("pos", "shingle")))
       .groupBy(col("shingle")).agg(count(lit(1)).as("len"))
-      .agg(sum(col("len") * (col("len") - 1) / 2).as("pairs"))
+      // `div`, not `/`: Spark's `/` on integer columns is double
+      // division, which loses exactness above 2^53 pairs. len*(len-1)
+      // is even, so integer division is exact; the aggregate stays Long.
+      .agg(sum(expr("len * (len - 1) div 2")).as("pairs"))
       .collect()(0).getAs[Any](0) match {
         case null => 0L
-        case d: java.math.BigDecimal => d.longValue
         case l: java.lang.Long => l.longValue
-        case x => x.toString.toDouble.toLong
+        case x => sys.error(s"unexpected pairs aggregate type: $x")
       }
     // The candidate stream feeds three consumers (count, degree census,
     // verify); persist so the expensive generation pass runs once.

@@ -83,6 +83,19 @@ class LangModelSpec extends SparkSpecBase {
     assert(broadcastRoute.keySet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("null id or null text drops the row on BOTH routes (family convention)") {
+    val corpus = Seq(
+      (java.lang.Long.valueOf(1L), "the cat sat"),
+      (java.lang.Long.valueOf(2L), null: String),        // null text
+      (null.asInstanceOf[java.lang.Long], "a dog ran"),  // null id
+      (java.lang.Long.valueOf(4L), "the cat ran")
+    ).toDF("doc_id", "text")
+    val broadcastRoute = score(corpus)
+    val joinRoute = score(corpus, maxEntries = 0)
+    assert(broadcastRoute === joinRoute)
+    assert(broadcastRoute.keySet === Set(1L, 4L))
+  }
+
   test("scores are independent of corpus partitioning") {
     val corpus = (1L to 40L)
       .map(i => (i, s"the cat sat ${i % 5} times and ran"))
