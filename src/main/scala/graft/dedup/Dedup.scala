@@ -977,6 +977,25 @@ object Dedup {
     voted.select(col(id), fp.as("simhash"))
   }
 
+  /** Route boundary for [[simhashPairs]]: when the MEAN (segment, value)
+    * bucket occupancy — n_docs / 2^segBits — exceeds this, the segment
+    * value space is saturated (every bucket's in-kernel XOR scan is
+    * bucket-size-quadratic and bucket size grows linearly in n), and the
+    * pair kernel routes to the two-level sub-segment split. Below it the
+    * one-level kernel's quadratic term is ignorable and the 4× smaller
+    * banding shuffle wins. Justified by the sf10/sf100 bucket census
+    * (`tools/SimhashBucketCensus`, 60-bit/maxDist-3 on the ScaleUp
+    * corpora): at 500k docs (occupancy 15) one-level scans 320M probe
+    * pairs vs two-level's 332M — the split buys nothing and costs 4×
+    * banding shuffle; at 5M docs (occupancy 153) one-level scans 4.74G
+    * (×14.8/decade — the n²/2^segBits term emerging; expected random
+    * term 4·C(n,2)/2^15 ≈ 1.5G of it) vs two-level's 3.20G (×9.6/decade
+    * — linear, all of it output-inherent cluster probes; the random
+    * term at the sub-split key width is ~3M). The quadratic term, not
+    * the constant, is what the route must kill — 32 sits at the decade
+    * where it starts to show. */
+  val SimhashMaxMeanOccupancy: Double = 32.0
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     * Candidate generation is the pigeonhole banding used at scale: split
     * the fingerprint into maxDist+1 bit segments — any pair within maxDist
@@ -992,7 +1011,21 @@ object Dedup {
     * filter could kill it; with fixed-width segments bucket sizes grow
     * linearly in n (pigeonhole — segments cannot widen without losing
     * the ≥1-agreement guarantee), so making the per-candidate cost two
-    * instructions is what keeps the quadratic term ignorable in practice.
+    * instructions is what keeps the quadratic term ignorable — until the
+    * segment value space SATURATES (2^segBits is fixed at 32,768 for the
+    * production 60-bit/4-segment shape, so mean bucket size grows
+    * linearly in n and in-kernel scan work grows n²/2^segBits).
+    *
+    * SIZE-ROUTED on mean bucket occupancy (the Clusters/Contamination
+    * convention): past [[SimhashMaxMeanOccupancy]] the kernel applies the
+    * pigeonhole RECURSIVELY (the multi-index-hashing refinement, Norouzi
+    * et al. 2012): a pair at distance ≤ maxDist that agrees on segment s
+    * differs in ≤ maxDist of the OTHER bits, so splitting those into
+    * maxDist+1 sub-segments guarantees exact agreement on ≥1 — bucketing
+    * on (segment, value, sub-segment, sub-value) preserves every
+    * qualifying pair while dividing expected bucket occupancy by
+    * 2^subBits (~2048 for the 60-bit shape). The banding shuffle grows
+    * (maxDist+1)× — linear, the price for killing the quadratic term.
     *
     * LOWEST-AGREEING-SEGMENT emission: a qualifying pair appears in every
     * bucket whose segment agrees (all 4 for an exact duplicate), and on
@@ -1000,16 +1033,33 @@ object Dedup {
     * volume. Each bucket's kernel has both fingerprints in hand, so it
     * emits the pair only when no LOWER segment also agrees — the output
     * is exactly unique by construction and the old full-output `distinct`
-    * exchange disappears (sf10: 24 s → the answer's own write cost). */
+    * exchange disappears (sf10: 24 s → the answer's own write cost). The
+    * two-level route extends the rule lexicographically: emit only from
+    * the (lowest agreeing segment, lowest agreeing sub-segment) bucket —
+    * both kernels can decide it locally from the XOR, so uniqueness
+    * still costs zero exchanges. Both routes emit the identical set. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   bits: Int = 16, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(df, id, text, bits)
+                   bits: Int = 16, maxDist: Int = 3,
+                   maxMeanOccupancy: Double = SimhashMaxMeanOccupancy): DataFrame = {
     val nSeg = maxDist + 1
     val segBits = bits / nSeg
     require(segBits > 0, "bits must exceed maxDist")
-    val idType = df.schema(id).dataType
+    val sh = simhash(df, id, text, bits)
+    // Route probe: the doc count (column-pruned to the id — a parquet
+    // scan answers from row-group metadata). Mean occupancy = docs per
+    // (seg, value) bucket; the sub-split needs bits outside the segment.
+    val occupancy = df.select(col(id)).count().toDouble / (1L << segBits)
+    if (occupancy > maxMeanOccupancy && bits > segBits)
+      simhashPairsTwoLevel(sh, id, bits, maxDist)
+    else simhashPairsOneLevel(sh, id, bits, maxDist)
+  }
+
+  private def simhashPairsOneLevel(sh: DataFrame, id: String,
+                                   bits: Int, maxDist: Int): DataFrame = {
+    val nSeg = maxDist + 1
+    val segBits = bits / nSeg
+    val idType = sh.schema(id).dataType
     val ord = idOrdering(idType)
-    val spark = sh.sparkSession
     val segMask = (1L << segBits) - 1
     val bandedSchema = StructType(Seq(StructField("bucket", LongType),
       StructField(id, idType), StructField("simhash", LongType)))
@@ -1039,6 +1089,107 @@ object Dedup {
             s += 1
           }
           true
+        }
+        for {
+          a <- rows.indices.iterator
+          b <- (a + 1 until rows.length).iterator
+          x = fps(a) ^ fps(b)
+          ham = java.lang.Long.bitCount(x)
+          if ham <= maxDist && lowestAgreeing(x) &&
+            ord.compare(ids(a), ids(b)) != 0
+        } yield {
+          if (ord.compare(ids(a), ids(b)) < 0) Row(ids(a), ids(b), ham)
+          else Row(ids(b), ids(a), ham)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Per-segment sub-split layout: for each segment s, the fingerprint
+    * bit positions OUTSIDE s, partitioned into maxDist+1 contiguous
+    * chunks of near-equal size. Returned as (positions(s)(j) — the bit
+    * positions of chunk j, ascending; masks(s)(j) — their OR'd Long
+    * mask, for the lowest-agreeing-sub test against a XOR). */
+  private[graft] def simhashSubLayout(bits: Int, maxDist: Int)
+      : (Array[Array[Array[Int]]], Array[Array[Long]]) = {
+    val nSeg = maxDist + 1
+    val segBits = bits / nSeg
+    val positions = Array.tabulate(nSeg) { s =>
+      val rest = (0 until bits)
+        .filterNot(p => p >= s * segBits && p < (s + 1) * segBits).toArray
+      val base = rest.length / nSeg
+      val extra = rest.length % nSeg
+      val out = new Array[Array[Int]](nSeg)
+      var off = 0
+      var j = 0
+      while (j < nSeg) {
+        val len = base + (if (j < extra) 1 else 0)
+        out(j) = java.util.Arrays.copyOfRange(rest, off, off + len)
+        off += len
+        j += 1
+      }
+      out
+    }
+    val masks = positions.map(_.map(_.foldLeft(0L)((m, p) => m | (1L << p))))
+    (positions, masks)
+  }
+
+  private def simhashPairsTwoLevel(sh: DataFrame, id: String,
+                                   bits: Int, maxDist: Int): DataFrame = {
+    val nSeg = maxDist + 1
+    val segBits = bits / nSeg
+    val idType = sh.schema(id).dataType
+    val ord = idOrdering(idType)
+    val segMask = (1L << segBits) - 1
+    val (subPos, subMasks) = simhashSubLayout(bits, maxDist)
+    // Bucket key packs (seg*nSeg + sub, segValue, subValue) into one
+    // Long: maxSubBits ≤ ceil((bits - segBits) / nSeg) and the combined
+    // chunk index needs ≤ 6 bits for maxDist ≤ 7, so the key stays ≤
+    // segBits + maxSubBits + 6 < 63 bits for every legal (bits, maxDist).
+    val maxSubBits = subPos.map(_.map(_.length).max).max
+    val bandedSchema = StructType(Seq(StructField("bucket", LongType),
+      StructField(id, idType), StructField("simhash", LongType)))
+    val banded = sh.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fp = r.getLong(1)
+        (0 until nSeg).iterator.flatMap { seg =>
+          val segVal = (fp >>> (seg * segBits)) & segMask
+          (0 until nSeg).iterator.map { sub =>
+            val ps = subPos(seg)(sub)
+            var v = 0L; var i = 0
+            while (i < ps.length) { v |= ((fp >>> ps(i)) & 1L) << i; i += 1 }
+            Row((((seg * nSeg + sub).toLong << segBits) | segVal) << maxSubBits | v,
+              r.get(0), fp)
+          }
+        }
+      }
+    }(Encoders.row(bandedSchema))
+    val outSchema = StructType(Seq(StructField("id_a", idType),
+      StructField("id_b", idType), StructField("hamming", IntegerType)))
+    banded.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (key, it) =>
+        val chunk = (key >>> (segBits + maxSubBits)).toInt
+        val seg = chunk / nSeg
+        val sub = chunk % nSeg
+        val rows = it.toArray
+        val ids = new Array[Any](rows.length)
+        val fps = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) { ids(i) = rows(i).get(1); fps(i) = rows(i).getLong(2); i += 1 }
+        // Emit only from the lexicographically-first agreeing bucket:
+        // segment seg must be the lowest agreeing segment of the XOR,
+        // and sub the lowest agreeing sub-chunk within it.
+        def lowestAgreeing(x: Long): Boolean = {
+          var s = 0
+          while (s < seg) {
+            if (((x >>> (s * segBits)) & segMask) == 0L) return false
+            s += 1
+          }
+          var j = 0
+          while (j < sub) {
+            if ((x & subMasks(seg)(j)) == 0L) return false
+            j += 1
+          }
+          (x & subMasks(seg)(sub)) == 0L
         }
         for {
           a <- rows.indices.iterator

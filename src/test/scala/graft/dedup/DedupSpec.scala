@@ -93,6 +93,68 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.get((1L, 4L)).contains(0L))
   }
 
+  /** Clustered + background corpus for the simhash route parity specs:
+    * 40 near-dup clusters of 5 single-token mutations (pairs at small
+    * hamming) over 200 unrelated background docs (at bits=16 the narrow
+    * fingerprint also yields accidental ≤ maxDist pairs across clusters —
+    * exactly the collision regime the two-level route must preserve). */
+  private def routeCorpus = {
+    val clustered = (0 until 40).flatMap { c =>
+      (0 until 5).map { v =>
+        ((c * 5 + v).toLong,
+          s"cluster$c alpha beta gamma delta epsilon zeta eta theta variant$v")
+      }
+    }
+    val background = (0 until 200).map { i =>
+      (1000L + i, s"unrelated$i text$i body$i with$i words$i entirely$i distinct$i")
+    }
+    spark.createDataFrame(clustered ++ background).toDF("doc_id", "text")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Int]("hamming"))).toSet
+
+  test("simhash pairs: two-level sub-segment route emits the identical set") {
+    for ((bits, maxDist) <- Seq((16, 3), (60, 3), (60, 1), (32, 2))) {
+      val one = pairSet(Dedup.simhashPairs(routeCorpus, "doc_id", "text",
+        bits, maxDist, maxMeanOccupancy = Double.MaxValue))
+      val two = pairSet(Dedup.simhashPairs(routeCorpus, "doc_id", "text",
+        bits, maxDist, maxMeanOccupancy = 0.0))
+      assert(two === one, s"route divergence at bits=$bits maxDist=$maxDist")
+      assert(one.nonEmpty, s"degenerate spec: no pairs at bits=$bits maxDist=$maxDist")
+    }
+  }
+
+  test("simhash pairs: default route agrees with both forced routes") {
+    // bits=16/maxDist=3 → segBits=4 → occupancy 400/16 = 25 < 32 cap
+    // stays one-level; the assertion is route-independent either way.
+    val default = pairSet(Dedup.simhashPairs(routeCorpus, "doc_id", "text", 16, 3))
+    val forced = pairSet(Dedup.simhashPairs(routeCorpus, "doc_id", "text", 16, 3,
+      maxMeanOccupancy = 0.0))
+    assert(default === forced)
+  }
+
+  test("simhash sub-layout: chunks are disjoint, cover all non-segment bits, near-equal") {
+    for ((bits, maxDist) <- Seq((60, 3), (16, 3), (60, 1), (30, 4))) {
+      val nSeg = maxDist + 1
+      val segBits = bits / nSeg
+      val (pos, masks) = Dedup.simhashSubLayout(bits, maxDist)
+      assert(pos.length === nSeg)
+      for (s <- 0 until nSeg) {
+        val segRange = (s * segBits) until ((s + 1) * segBits)
+        val all = pos(s).flatten
+        assert(all.toSet === (0 until bits).toSet -- segRange.toSet)
+        assert(all.length === all.toSet.size) // disjoint chunks
+        val sizes = pos(s).map(_.length)
+        assert(sizes.max - sizes.min <= 1)
+        for (j <- 0 until nSeg)
+          assert(masks(s)(j) ===
+            pos(s)(j).foldLeft(0L)((m, p) => m | (1L << p)))
+      }
+    }
+  }
+
   // ---- adversarial skew: one boilerplate phrase shared by every doc ----
 
   /** 1k docs, each: common 6-token boilerplate prefix + unique tail.
