@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -229,5 +229,41 @@ object Clusters {
         coalesce(col("cluster_id"), col(id)).as("cluster_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (coalesce(col("cluster_id"), col(id)) === col(id)).cast("int").as("keep"))
+  }
+
+  /** [[assign]] with QUALITY-AWARE survivor selection — the canonical
+    * "keep the best copy" stage every training-data pipeline runs
+    * between near-dup clustering and export: instead of keeping the
+    * minimum-id member, each component keeps its highest-`score` member
+    * (ties break to the smallest id under the column's natural
+    * ordering, so the result is deterministic and exactly one row per
+    * component has keep=1).
+    *
+    * `score` is any expression over `docs`' columns (token count, a
+    * curation quality score, a perplexity negation, ...). Output:
+    * `(id, cluster_id, cluster_size, score, keep)` for EVERY doc —
+    * singletons keep themselves with cluster_size 1.
+    *
+    * Scale shape: the component labeling touches only the pair stream
+    * (size-routed, see the object doc); the corpus side pays one column-
+    * pruned join against the labels and ONE hash exchange on cluster_id
+    * for the per-component window — (id, cluster_id, score) rows only,
+    * never the text. At 100 TB that exchange moves ~24 bytes/doc and the
+    * window state per task is one component at a time. */
+  def canonicalKeep(docs: DataFrame, pairs: DataFrame, id: String,
+      score: Column, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val (labels, rounds) = ccWithIterations(pairs, idA, idB)
+    val lab = labels.select(col("id").as(id), col("cluster").as("cluster_id"))
+    val right = if (rounds == 0) broadcast(lab) else lab
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val ordered = w.orderBy(col("score").desc, col(id).asc)
+    docs.select(col(id), score.as("score"))
+      .join(right, Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
+      .select(col(id), col("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"),
+        col("score"),
+        (row_number().over(ordered) === 1).cast("int").as("keep"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Curation, Dsir, LangModel, Packing, Redact, TextMetrics}
+import graft.text.{Curation, Dsir, LangModel, Packing, Redact, Shards, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -642,6 +642,74 @@ object TextQueries extends QueryPack {
           round(s / n_bigrams, 6) AS nll,
           round(exp(round(s / n_bigrams, 6)), 4) AS ppl
         FROM sc ORDER BY doc_id"""),
-      "Bigram-LM perplexity quality score (CCNet-style, src0-trained, Laplace)")
+      "Bigram-LM perplexity quality score (CCNet-style, src0-trained, Laplace)"),
+
+    // Quality-aware survivor selection: near-dup clusters (q81's pair
+    // stream + CC) keep their highest-quality member instead of the
+    // minimum id — the "keep the best copy" stage between clustering
+    // and export. Score here = token count (longest-variant-wins, a
+    // standard rule); ties break to the smallest doc_id so exactly one
+    // member per cluster has keep=1.
+    "q91_canonical_keep" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccard(balanced(docs), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        Clusters.canonicalKeep(docs, pairs, "doc_id",
+            size(split(col("text"), " ")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $ShingleCte,
+        $JaccardVerifySql,
+        pairs AS (
+          SELECT id_a, id_b
+          FROM common JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+          WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        lab AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+            len(string_split(d.text, ' '))::BIGINT AS score
+          FROM documents d LEFT JOIN comp c USING (doc_id))
+        SELECT doc_id, cluster_id,
+          count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          score,
+          (row_number() OVER (PARTITION BY cluster_id
+             ORDER BY score DESC, doc_id ASC) = 1)::INT AS keep
+        FROM lab ORDER BY doc_id"""),
+      "Near-dup clusters keep their highest-quality member (canonical keep)"),
+
+    // Deterministic training-shard deal of the packed sequences (q89's
+    // windows): shard = md5-fold(seq_id) mod 8, within-shard order =
+    // ascending fold — a reproducible pseudorandom permutation with no
+    // per-shard window hotspot (global range sort + S-row offset join).
+    "q92_training_shards" -> QueryDef(
+      (s, dir) => {
+        val frags = Packing.fragments(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", seqLen = 256L)
+        Shards.assign(frags.select(col("seq_id")).distinct(), "seq_id",
+            nShards = 8)
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+             FROM documents),
+        tot AS (SELECT sum(n)::BIGINT AS s FROM t),
+        seqs AS (SELECT unnest(range(0, (s + 255) // 256)) AS seq_id FROM tot),
+        a AS (SELECT seq_id,
+                ('0x' || substr(md5(seq_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM seqs)
+        SELECT seq_id, (h % 8)::INT AS shard,
+          (row_number() OVER (PARTITION BY h % 8 ORDER BY h, seq_id) - 1)::BIGINT
+            AS pos
+        FROM a ORDER BY shard, pos"""),
+      "Deterministic shuffled training shards over packed sequences")
   )
 }

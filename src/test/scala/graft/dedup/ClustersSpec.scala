@@ -93,4 +93,42 @@ class ClustersSpec extends SparkSpecBase {
       (1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0),
       (4L, 4L, 2L, 1), (5L, 4L, 2L, 0), (9L, 9L, 1L, 1)))
   }
+
+  test("canonicalKeep keeps the highest-score member; ties break to min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // cluster 1: doc 2 wins on score
+      (4L, 7L), (5L, 7L),              // cluster 4: tie → doc 4 wins
+      (9L, 1L)                         // singleton keeps itself
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.canonicalKeep(docs, pairs, "doc_id",
+        org.apache.spark.sql.functions.col("quality"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(out === Array(
+      (1L, 1L, 3L, 10L, 0), (2L, 1L, 3L, 30L, 1), (3L, 1L, 3L, 20L, 0),
+      (4L, 4L, 2L, 7L, 1), (5L, 4L, 2L, 7L, 0), (9L, 9L, 1L, 1L, 1)))
+  }
+
+  test("canonicalKeep emits exactly one keep per cluster on a random graph") {
+    val rnd = new Random(7)
+    val docs = (0L until 300L).map(i => (i, rnd.nextInt(50).toLong))
+      .toDF("doc_id", "quality")
+    val pairs = Seq.fill(150)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val rows = Clusters.canonicalKeep(docs, pairs, "doc_id",
+        org.apache.spark.sql.functions.col("quality")).collect()
+    assert(rows.length === 300)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_.getInt(4)).sum === 1, s"cluster $c keep count")
+      val kept = members.find(_.getInt(4) == 1).get
+      val best = members.minBy(m => (-m.getLong(3), m.getLong(0)))
+      assert(kept.getLong(0) === best.getLong(0), s"cluster $c wrong survivor")
+      assert(members.forall(_.getLong(2) === members.length.toLong))
+    }
+  }
 }
