@@ -979,22 +979,30 @@ object Dedup {
 
   /** Route boundary for [[simhashPairs]]: when the MEAN (segment, value)
     * bucket occupancy — n_docs / 2^segBits — exceeds this, the segment
-    * value space is saturated (every bucket's in-kernel XOR scan is
-    * bucket-size-quadratic and bucket size grows linearly in n), and the
-    * pair kernel routes to the two-level sub-segment split. Below it the
-    * one-level kernel's quadratic term is ignorable and the 4× smaller
-    * banding shuffle wins. Justified by the sf10/sf100 bucket census
-    * (`tools/SimhashBucketCensus`, 60-bit/maxDist-3 on the ScaleUp
-    * corpora): at 500k docs (occupancy 15) one-level scans 320M probe
-    * pairs vs two-level's 332M — the split buys nothing and costs 4×
-    * banding shuffle; at 5M docs (occupancy 153) one-level scans 4.74G
-    * (×14.8/decade — the n²/2^segBits term emerging; expected random
-    * term 4·C(n,2)/2^15 ≈ 1.5G of it) vs two-level's 3.20G (×9.6/decade
-    * — linear, all of it output-inherent cluster probes; the random
-    * term at the sub-split key width is ~3M). The quadratic term, not
-    * the constant, is what the route must kill — 32 sits at the decade
-    * where it starts to show. */
-  val SimhashMaxMeanOccupancy: Double = 32.0
+    * value space is saturating (bucket size grows linearly in n, so the
+    * in-kernel XOR scan grows n²/2^segBits) and the pair kernel routes
+    * to the two-level sub-segment split. Two measurements set the value
+    * (60-bit/maxDist-3 on the ScaleUp corpora):
+    *
+    *  - Work census (`tools/SimhashBucketCensus`): one-level scan work
+    *    grows ×14.8/decade at 500k→5M docs (320M → 4.74G probe pairs —
+    *    the expected random term 4·C(n,2)/2^15 ≈ 1.5G of the 4.74G)
+    *    while the two-level keying stays linear (×9.6/decade, all
+    *    output-inherent; random term ~3M). The asymptote alone says
+    *    two-level past saturation.
+    *  - SAME-PHASE wall time (`tools/SimhashRoutePhase`): the two-level
+    *    kernel already wins 2.4–3.6× at occupancy 15 (sf10full: 4.4/6.6
+    *    vs 15.8/77.7 s) — the one-level kernel's per-bucket
+    *    materialization (mean-17, max-2451-row groups) costs allocation
+    *    and GC long before the quadratic term dominates — and is a
+    *    measured WASH at occupancy ≤ 1.5 (sf1full steady state 1.1 vs
+    *    1.3 s; sf0.1 0.8 vs 0.8 s), where the (maxDist+1)× banding
+    *    shuffle is too small to matter either way.
+    *
+    * 8 sits between the measured wash (1.5) and the measured win (15);
+    * below it the one-level form keeps the 4× smaller banding shuffle —
+    * the term that DOES matter on a cluster's network at low occupancy. */
+  val SimhashMaxMeanOccupancy: Double = 8.0
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     * Candidate generation is the pigeonhole banding used at scale: split

@@ -18,13 +18,18 @@ import graft.dedup.Dedup
   * output pair count — so the route threshold is chosen from measured
   * work ratios, not asserted.
   *
-  * Usage: `runMain graft.tools.SimhashBucketCensus <sfDir> [bits] [maxDist]`
+  * Usage: `runMain graft.tools.SimhashBucketCensus <sfDir> [bits] [maxDist]
+  * [nooutput]` — the optional 4th arg skips the output-pair count (the
+  * only step that runs the full pair kernel; at decade-4 corpora the
+  * scan-work census is the point and the multi-billion-row output
+  * materialization would dominate the run for no information).
   */
 object SimhashBucketCensus {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val bits = args.lift(1).map(_.toInt).getOrElse(60)
     val maxDist = args.lift(2).map(_.toInt).getOrElse(3)
+    val skipOutput = args.lift(3).contains("nooutput")
     val nSeg = maxDist + 1
     val segBits = bits / nSeg
     val spark = GraftSession.localFromEnv()
@@ -71,8 +76,10 @@ object SimhashBucketCensus {
       }
     })
 
-    val out = Dedup.simhashPairs(docs, "doc_id", "text", bits, maxDist).count()
-    println(s"[census] output_pairs=$out")
+    if (!skipOutput) {
+      val out = Dedup.simhashPairs(docs, "doc_id", "text", bits, maxDist).count()
+      println(s"[census] output_pairs=$out")
+    }
     spark.stop()
   }
 }

@@ -127,8 +127,8 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("simhash pairs: default route agrees with both forced routes") {
-    // bits=16/maxDist=3 → segBits=4 → occupancy 400/16 = 25 < 32 cap
-    // stays one-level; the assertion is route-independent either way.
+    // bits=16/maxDist=3 → segBits=4 → occupancy 400/16 = 25 > 8 cap
+    // routes two-level; the assertion is route-independent either way.
     val default = pairSet(Dedup.simhashPairs(routeCorpus, "doc_id", "text", 16, 3))
     val forced = pairSet(Dedup.simhashPairs(routeCorpus, "doc_id", "text", 16, 3,
       maxMeanOccupancy = 0.0))
