@@ -12,10 +12,17 @@ import graft.dedup.Dedup
   * harness) and prints every run.
   *
   * Usage: `runMain graft.tools.SimhashRoutePhase <sfDir> [<sfDir> ...]`
+  * Env knobs for decade-4 corpora where a full 2×2 grid would take
+  * hours: `SPARK_GRAFT_ROUTE_RUNS` (default 2 interleaved rounds) and
+  * `SPARK_GRAFT_ROUTES` (default "one,two" — set "two" to time only
+  * the shipped route and let the work census speak for the other).
   */
 object SimhashRoutePhase {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf10full")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RUNS", "2").toInt
+    val routes = sys.env.getOrElse("SPARK_GRAFT_ROUTES", "one,two")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val spark = GraftSession.localFromEnv()
     for (dir <- dirs) {
       val docs = Tables.documents(spark, dir)
@@ -33,9 +40,10 @@ object SimhashRoutePhase {
         dt
       }
       // Interleave so neither route monopolizes a weather phase.
-      for (i <- 1 to 2) {
-        run(s"one-level/$i", Double.MaxValue)
-        run(s"two-level/$i", 0.0)
+      for (i <- 1 to rounds; r <- routes) r match {
+        case "one" => run(s"one-level/$i", Double.MaxValue)
+        case "two" => run(s"two-level/$i", 0.0)
+        case other => sys.error(s"unknown route '$other'")
       }
     }
     spark.stop()
