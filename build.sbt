@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 local executor threads share this heap; 8g causes GC churn on the
   // hash-heavy dedup/similarity stages, 16g keeps full-bench GC <2%.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // -Xms = -Xmx: without it a FRESH JVM starts at G1's tiny default
+  // initial heap and measures the whole ramp as young-gen GC — q91's
+  // task-summed GC read 441 s/run on a fresh JVM vs 2.4 s/run late in a
+  // long-lived suite JVM, identical bytes — which masqueraded as host
+  // weather in standalone ladder witnesses.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
