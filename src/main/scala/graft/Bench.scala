@@ -1,9 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
@@ -12,42 +8,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * plans, not JVM warmup. Results are fully materialized through the
   * `noop` sink — `count()` alone would let Catalyst prune most of the
   * computed columns.
+  *
+  * Task-metric attribution lives in [[TaskMetricsCensus]] (shared with
+  * the same-phase measurement tools).
   */
 object Bench {
 
-  /** Sums executor task metrics so each query's runs can be attributed
-    * to the MEMORY REGIME they executed in, not just wall time: spill
-    * bytes (the number that explains a local >1 time exponent over
-    * measured-linear work), shuffle IO, GC, and the peak single-task
-    * execution memory. Counters reset at each query boundary after a
-    * listener-bus drain, so deltas are exact per query.
-    *
-    * `gc_s` sums per-task jvmGCTime: concurrent tasks in one local JVM
-    * share each GC pause, so the sum reads as GC-pressure-weighted task
-    * time (an upper bound on wall GC), not wall seconds.
-    */
-  private final class TaskMetricsCensus extends SparkListener {
-    val diskSpill = new AtomicLong
-    val memSpill = new AtomicLong
-    val shufWrite = new AtomicLong
-    val shufRead = new AtomicLong
-    val gcMs = new AtomicLong
-    val peakTaskMem = new AtomicLong
-    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        gcMs.addAndGet(m.jvmGCTime)
-        peakTaskMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
-      }
-    }
-    def reset(): Unit =
-      Seq(diskSpill, memSpill, shufWrite, shufRead, gcMs, peakTaskMem)
-        .foreach(_.set(0L))
-  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // A21: optional median-of-N per query (reference benchmark protocol:
@@ -206,9 +172,17 @@ object Bench {
     // WHICH regime it ran in — a >1 decade time exponent with linear
     // work volume and exploding spill bytes is a local-JVM artifact, not
     // an operator property.
+    // Unit wording matches the denominator exactly: failure-touched rows
+    // divide by ok_runs (not the requested count), and after a mid-query
+    // session rebuild the census reset means such a row covers only
+    // post-rebuild runs — which is precisely what its unreliable flag
+    // marks.
     val metricsJson = metricsOut
       .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{\"unit\":\"per-run mean over " + runs + " run(s)\",\"queries\":{",
+      .mkString("{\"unit\":\"per-successful-run mean (" + runs +
+        " requested; rows flagged unreliable divide by their ok_runs and," +
+        " after a mid-query session rebuild, cover only post-rebuild runs)\"" +
+        ",\"queries\":{",
         ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out + ".metrics.json"), metricsJson + "\n")
