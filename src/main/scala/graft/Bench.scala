@@ -131,6 +131,82 @@ object Bench {
     // ~3.3 KB and gets truncated by downstream tail buffers).
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // ---- witness adjudication: the artifact carries its own contention
+    // verdict. In-suite outliers on this host are co-tenancy (a query
+    // reading 10–40× its committed median with unchanged code and a
+    // clean plan — the pattern every round since 7 adjudicated by hand).
+    // Any query whose in-suite median exceeds 5× its CERTIFICATE median
+    // (plus a 2 s floor: micro-query jitter is not contention) is re-run
+    // at suite end, when no co-tenant suite work remains, and the
+    // re-measured median lands in a "witnessed" block with the load
+    // average at witness time. Witness numbers never replace the suite
+    // medians — they adjudicate them. Gated on the certificate's own SF
+    // (a scale-ladder run legitimately dwarfs sf0.1 medians) and capped
+    // at WITNESS_MAX queries, with the overflow NAMED in
+    // "witness_skipped" (no silent caps). Reference discipline mirrored:
+    // tests/simulation/benchmark/test_throughput_regression.py's
+    // median-of-repeats policy.
+    val witnessBlock: String = {
+      val certPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CERT", "bench_certificate.json"))
+      val disabled = sys.env.get("SPARK_GRAFT_BENCH_WITNESS").contains("0")
+      val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+      if (disabled || !java.nio.file.Files.exists(certPath)) ""
+      else {
+        val cert = tools.BenchCertificate.read(certPath)
+        if (cert.sf != sfBase) ""
+        else {
+          val outliers = results.flatMap { case (name, med) =>
+            cert.queries.get(name)
+              .filter(base => med > math.max(base * 5.0, 2.0))
+              .map(base => (name, med, base, med / base))
+          }.sortBy(-_._4)
+          if (outliers.isEmpty) ""
+          else {
+            val maxW =
+              sys.env.getOrElse("SPARK_GRAFT_BENCH_WITNESS_MAX", "8").toInt
+            val wRuns =
+              sys.env.getOrElse("SPARK_GRAFT_BENCH_WITNESS_RUNS", "3").toInt
+            val (taken, dropped) = outliers.splitAt(maxW)
+            val entries = taken.map { case (name, med, base, ratio) =>
+              val load = scala.util.Try(new String(
+                java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+                .split(' ')(0).toDouble).getOrElse(-1.0)
+              val times = (1 to wRuns).flatMap { _ =>
+                val t0 = System.nanoTime()
+                val ok =
+                  try {
+                    SparkEntry.queries(name)(spark, sfDir)
+                      .write.format("noop").mode("overwrite").save()
+                    true
+                  } catch { case e: Throwable =>
+                    System.err.println(s"[bench] witness $name failed: $e")
+                    false
+                  }
+                val dt = (System.nanoTime() - t0) / 1e9
+                spark.catalog.clearCache()
+                if (ok) Some(dt) else None
+              }.sorted
+              val wm = times.length / 2
+              val wMedStr =
+                if (times.isEmpty) "null"
+                else if (times.length % 2 == 1) fmt(times(wm))
+                else fmt((times(wm - 1) + times(wm)) / 2.0)
+              s""""$name":{"suite_sec":${fmt(med)},"witness_sec":$wMedStr,""" +
+                s""""witness_runs":${times.length},"cert_sec":${fmt(base)},""" +
+                s""""suite_over_cert":${fmt(ratio)},"loadavg":${fmt(load)}}"""
+            }
+            val skipped =
+              if (dropped.isEmpty) ""
+              else dropped.map("\"" + _._1 + "\"")
+                .mkString(""","witness_skipped":[""", ",", "]")
+            entries.mkString(""","witnessed":{""", ",", "}") + skipped
+          }
+        }
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -138,7 +214,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs$witnessBlock,"sf":"$sfDir"}"""
     println(json)
     // The per-query line grows with the registry (84 queries ≈ 3 KB) and
     // can outgrow a log tail buffer, front-truncating into unparseable
@@ -157,8 +233,13 @@ object Bench {
     // expensive queries, written next to the bench artifact so a plan
     // audit (Exchange count, broadcast vs shuffle joins, PushedFilters,
     // WholeStageCodegen spans) reads the round's artifact instead of
-    // re-deriving plans in a separate session. Planning only — nothing
-    // re-executes, so the sidecar costs milliseconds.
+    // re-deriving plans in a separate session. Planning only — with one
+    // caveat: size-ROUTED operators (simhash pairs, clusters,
+    // contamination, LM scoring) run their bounded route probe at
+    // DataFrame construction, so building a plan here can cost a
+    // column-pruned count/limit job — milliseconds on the parquet
+    // inputs every registered query reads, never a recompute of the
+    // measured pipeline.
     val top5 = results.sortBy(-_._2).take(5).map(_._1)
     val plans = top5.map { n =>
       val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution

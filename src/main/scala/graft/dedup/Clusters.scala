@@ -85,7 +85,8 @@ object Clusters {
       val labels = driverUnionFind(probe)
       val rows = labels.map { case (i, c) => Row(i, c) }
       val rdd = spark.sparkContext.parallelize(
-        rows, math.max(1, rows.length / 500000 + 1))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+        math.max(1, rows.length / 500000 + 1))
       return (spark.createDataFrame(rdd, outSchema), 0)
     }
 
@@ -244,26 +245,55 @@ object Clusters {
     * `(id, cluster_id, cluster_size, score, keep)` for EVERY doc —
     * singletons keep themselves with cluster_size 1.
     *
-    * Scale shape: the component labeling touches only the pair stream
-    * (size-routed, see the object doc); the corpus side pays one column-
-    * pruned join against the labels and ONE hash exchange on cluster_id
-    * for the per-component window — (id, cluster_id, score) rows only,
-    * never the text. At 100 TB that exchange moves ~24 bytes/doc and the
-    * window state per task is one component at a time. */
+    * Scale shape — the [[assign]] sizes-join shape, NOT a corpus-wide
+    * window: every per-component quantity (size, best score, winning
+    * member) is computed with `groupBy(cluster_id)` AGGREGATES over the
+    * label-joined members — bounded by the pair stream, map-side
+    * partially combined — and joined back. A
+    * `row_number() over (partition by cluster_id)` window would
+    * concentrate a degenerate near-corpus-sized component's rows in ONE
+    * task (the exact anti-pattern [[assign]]'s doc forbids); an
+    * aggregate's partial combine reduces the same component to one row
+    * per map partition before any exchange. The corpus pays two
+    * column-pruned passes over (id, score-inputs) — never the text —
+    * and on the union-find route the member-info table is broadcast, so
+    * the corpus is never exchanged at all.
+    *
+    * Survivor rule, identical to the window form it replaces (pinned by
+    * `ClustersSpec` parity): highest score wins, ties to the smallest
+    * id; null scores lose to non-null (`max` ignores nulls = the
+    * window's desc-nulls-last), and an all-null-score component still
+    * keeps exactly one member (the null-safe `<=>` match). */
   def canonicalKeep(docs: DataFrame, pairs: DataFrame, id: String,
       score: Column, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val (labels, rounds) = ccWithIterations(pairs, idA, idB)
     val lab = labels.select(col("id").as(id), col("cluster").as("cluster_id"))
-    val right = if (rounds == 0) broadcast(lab) else lab
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-    val ordered = w.orderBy(col("score").desc, col(id).asc)
+    val labRight = if (rounds == 0) broadcast(lab) else lab
+    // Members of multi-member components only (inner join): everything
+    // below is bounded by the pair stream; singletons never shuffle.
+    val members = docs.select(col(id), score.as("score"))
+      .join(labRight, Seq(id))
+      .select(col(id), col("cluster_id"), col("score"))
+    val stats = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"), max(col("score")).as("best_score"))
+    // Winner = min id among best-score members. `<=>` keeps the
+    // all-null-score component: max() returns null there and the
+    // null-safe match admits every member, so min(id) still elects one.
+    val winners = members.join(stats, "cluster_id")
+      .where(col("score") <=> col("best_score"))
+      .groupBy("cluster_id")
+      .agg(min(col(id)).as("keep_id"))
+    val memberInfo = lab
+      .join(stats.select(col("cluster_id"), col("cluster_size")), "cluster_id")
+      .join(winners, "cluster_id")
+      .select(col(id), col("cluster_id"), col("cluster_size"), col("keep_id"))
+    val infoRight = if (rounds == 0) broadcast(memberInfo) else memberInfo
     docs.select(col(id), score.as("score"))
-      .join(right, Seq(id), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
-      .select(col(id), col("cluster_id"),
-        count(lit(1)).over(w).as("cluster_size"),
+      .join(infoRight, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("cluster_id"), col(id)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         col("score"),
-        (row_number().over(ordered) === 1).cast("int").as("keep"))
+        coalesce(col("keep_id") === col(id), lit(true)).cast("int").as("keep"))
   }
 }

@@ -641,6 +641,104 @@ object Dedup {
       id, cand, threshold)
   }
 
+  // ---- cross-operator reuse of the PPJoin pair stream ----
+
+  private case class JaccardKey(sessionId: Int, semHash: Int, id: String,
+                                text: String, n: Int, threshold: Double,
+                                maxDf: Int, prefixHotDf: Int, prefixTopK: Int)
+  private case class JaccardEntry(plan: org.apache.spark.sql.catalyst.plans
+                                        .logical.LogicalPlan,
+                                  pairs: DataFrame)
+  private val jaccardCache =
+    mutable.LinkedHashMap.empty[JaccardKey, JaccardEntry]
+  private val jaccardCacheCap = 4
+
+  /** Drop every memoized pair stream (unpersisting each). Pipeline-
+    * boundary hygiene for long-lived sessions; the harness mains use
+    * `spark.catalog.clearCache()` instead, which empties STORAGE but
+    * leaves the entries — a later hit recomputes lazily and re-persists
+    * (see [[ngramJaccardCached]]). */
+  def clearJaccardCache(): Unit = jaccardCache.synchronized {
+    jaccardCache.valuesIterator.foreach(e => safeUnpersist(e.pairs))
+    jaccardCache.clear()
+  }
+
+  /** Unpersist that tolerates a stopped owning session (the Bench
+    * harness rebuilds its session after a context-killing failure).
+    * NonFatal only: OOM and interrupts must still propagate. */
+  private def safeUnpersist(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** [[ngramJaccard]] with CROSS-OPERATOR reuse — the
+    * `Similarity.cosineNearDupPairsCached` precedent (its q70→q84
+    * stage-count proof), applied to the text pair stream: the PPJoin
+    * candidate generation + verify pass is the dominant cost of EVERY
+    * consumer of near-dup pairs, and a real pipeline consumes the same
+    * pairs repeatedly — pair REPORTING (q27), the purge table (q81),
+    * quality-aware canonical keep (q91). Memoized on (session, analyzed
+    * input plan, parameters) with the same `sameResult` identity test
+    * Spark's exchange reuse uses; at most [[jaccardCacheCap]] entries
+    * (LRU, evictions unpersist). At 100 TB the verify stage's
+    * allocation churn is the pipeline's largest single-box cost (q91
+    * sf100: 45% of wall in GC) — paying it once for three consumers is
+    * the cheapest 3× available.
+    *
+    * Harness honesty: `spark.catalog.clearCache()` between registered
+    * queries (the Bench/Verify convention) empties the persisted
+    * storage, so each query still measures standalone; a subsequent hit
+    * re-persists and recomputes lazily. Real pipelines get the reuse. */
+  def ngramJaccardCached(df: DataFrame, id: String, text: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxDf: Int = DefaultMaxDf,
+                         prefixHotDf: Int = 512,
+                         prefixTopK: Int = 0): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val plan = df.queryExecution.analyzed
+    val key = JaccardKey(System.identityHashCode(df.sparkSession),
+      plan.semanticHash(), id, text, n, threshold, maxDf, prefixHotDf,
+      prefixTopK)
+    val hit = jaccardCache.synchronized {
+      jaccardCache.get(key) match {
+        case Some(e) if e.plan.sameResult(plan) =>
+          jaccardCache.remove(key); jaccardCache.put(key, e) // LRU touch
+          Some(e.pairs)
+        case _ => None
+      }
+    }
+    hit match {
+      case Some(pairs) =>
+        // clearCache() may have emptied the storage behind this entry;
+        // re-persisting a still-persisted frame is a no-op.
+        if (pairs.storageLevel == StorageLevel.NONE)
+          pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs
+      case None =>
+        // Compute OUTSIDE the lock (plan construction runs the hot/stop
+        // census probe). A concurrent same-key miss costs one redundant
+        // build; only the winner lands in the map and the loser's frame
+        // is unpersisted.
+        val pairs = ngramJaccard(df, id, text, n, threshold, maxDf,
+            prefixHotDf, prefixTopK)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        jaccardCache.synchronized {
+          jaccardCache.get(key) match {
+            case Some(e) if e.plan.sameResult(plan) =>
+              pairs.unpersist(blocking = false)
+              e.pairs
+            case _ =>
+              jaccardCache.put(key, JaccardEntry(plan, pairs))
+              if (jaccardCache.size > jaccardCacheCap) {
+                val (k0, e0) = jaccardCache.head
+                jaccardCache.remove(k0)
+                safeUnpersist(e0.pairs)
+              }
+              pairs
+          }
+        }
+    }
+  }
+
   /** The PPJoin pipeline split at the candidate boundary: (per-doc
     * shingle-array table, deduped candidate pair stream). Exactly
     * [[ngramJaccard]] minus the verify join — exposed package-wide so
@@ -1048,15 +1146,22 @@ object Dedup {
     * still costs zero exchanges. Both routes emit the identical set. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    bits: Int = 16, maxDist: Int = 3,
-                   maxMeanOccupancy: Double = SimhashMaxMeanOccupancy): DataFrame = {
+                   maxMeanOccupancy: Double = SimhashMaxMeanOccupancy,
+                   docCount: Option[Long] = None): DataFrame = {
     val nSeg = maxDist + 1
     val segBits = bits / nSeg
     require(segBits > 0, "bits must exceed maxDist")
     val sh = simhash(df, id, text, bits)
-    // Route probe: the doc count (column-pruned to the id — a parquet
-    // scan answers from row-group metadata). Mean occupancy = docs per
-    // (seg, value) bucket; the sub-split needs bits outside the segment.
-    val occupancy = df.select(col(id)).count().toDouble / (1L << segBits)
+    // Route probe — EAGER: unless `docCount` is supplied, ONE counting
+    // job over df's column-pruned plan runs at DataFrame-CONSTRUCTION
+    // time (a parquet-backed input answers from row-group metadata).
+    // A caller whose `df` carries expensive derived lineage should pass
+    // `docCount` (it usually already knows it), or the lineage executes
+    // once for the probe and again for the real run. Mean occupancy =
+    // docs per (seg, value) bucket; the sub-split needs bits outside
+    // the segment.
+    val occupancy =
+      docCount.getOrElse(df.select(col(id)).count()).toDouble / (1L << segBits)
     if (occupancy > maxMeanOccupancy && bits > segBits)
       simhashPairsTwoLevel(sh, id, bits, maxDist)
     else simhashPairsOneLevel(sh, id, bits, maxDist)

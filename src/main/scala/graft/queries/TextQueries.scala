@@ -73,8 +73,13 @@ object TextQueries extends QueryPack {
         FROM documents GROUP BY 1 ORDER BY digest"""),
       "Exact dedup via content-hash groupBy (north-star dedup)"),
 
+    // Routed through the memoized pair stream: q27/q81/q91 consume the
+    // SAME PPJoin pairs, and a pipeline session pays candidate
+    // generation + verify once (the q70→q84 precedent; JaccardCacheSpec
+    // has the stage-count proof). Bench/Verify stay honest — their
+    // clearCache() between queries empties the persisted storage.
     "q27_ngram_jaccard" -> QueryDef(
-      (s, dir) => Dedup.ngramJaccard(balanced(Tables.documents(s, dir)), "doc_id", "text",
+      (s, dir) => Dedup.ngramJaccardCached(balanced(Tables.documents(s, dir)), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b")),
@@ -314,7 +319,7 @@ object TextQueries extends QueryPack {
     "q81_dedup_clusters" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.ngramJaccard(balanced(docs), "doc_id", "text",
+        val pairs = Dedup.ngramJaccardCached(balanced(docs), "doc_id", "text",
           n = 3, threshold = 0.8)
         Clusters.assign(docs, pairs, "doc_id").orderBy(col("doc_id"))
       },
@@ -653,7 +658,7 @@ object TextQueries extends QueryPack {
     "q91_canonical_keep" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.ngramJaccard(balanced(docs), "doc_id", "text",
+        val pairs = Dedup.ngramJaccardCached(balanced(docs), "doc_id", "text",
           n = 3, threshold = 0.8)
         Clusters.canonicalKeep(docs, pairs, "doc_id",
             size(split(col("text"), " ")).cast("long"))

@@ -15,8 +15,14 @@ package graft.tools
   */
 object BenchCertificate {
 
+  /** `sf` = basename of the SF directory the certified medians were
+    * measured at (e.g. "sf0.1"): a certificate's numbers only mean
+    * anything at their own data scale, and `Bench`'s witness adjudication
+    * must not fire on a scale-ladder run whose times legitimately dwarf
+    * the sf0.1 medians. Old certificates (pre-round-12) lack the field
+    * and parse as "sf0.1" — what every minted certificate measured. */
   case class Certificate(createdMs: Long, validDays: Int, tolerancePct: Double,
-                         queries: Map[String, Double])
+                         queries: Map[String, Double], sf: String = "sf0.1")
 
   case class Violation(query: String, baselineSec: Double, currentSec: Double) {
     def ratio: Double = currentSec / baselineSec
@@ -28,8 +34,9 @@ object BenchCertificate {
   }
 
   def create(nowMs: Long, perQuerySec: Map[String, Double],
-             validDays: Int = 90, tolerancePct: Double = 20.0): Certificate =
-    Certificate(nowMs, validDays, tolerancePct, perQuerySec)
+             validDays: Int = 90, tolerancePct: Double = 20.0,
+             sf: String = "sf0.1"): Certificate =
+    Certificate(nowMs, validDays, tolerancePct, perQuerySec, sf)
 
   /** Validate a later run. A query missing from the RUN is a failure (the
     * certified workload must still be runnable); a query missing from the
@@ -57,7 +64,7 @@ object BenchCertificate {
     val qs = c.queries.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     s"""{"created_ms":${c.createdMs},"valid_days":${c.validDays},""" +
-      s""""tolerance_pct":${c.tolerancePct},"queries":$qs}"""
+      s""""tolerance_pct":${c.tolerancePct},"sf":"${c.sf}","queries":$qs}"""
   }
 
   def fromJson(json: String): Certificate = {
@@ -75,8 +82,15 @@ object BenchCertificate {
         val Array(k, v) = kv.split(':')
         k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
       }.toMap
+    // `sf` is a quoted string field; absent in pre-round-12 certificates
+    // (all minted at sf0.1).
+    val sf = {
+      val i = json.indexOf(""""sf":"""")
+      if (i < 0) "sf0.1"
+      else json.substring(i + 6, json.indexOf('"', i + 6))
+    }
     Certificate(field("created_ms").toLong, field("valid_days").toInt,
-      field("tolerance_pct").toDouble, queries)
+      field("tolerance_pct").toDouble, queries, sf)
   }
 
   def write(path: java.nio.file.Path, c: Certificate): Unit =

@@ -34,10 +34,19 @@ object BenchCertify {
     val outPath = args.lift(1).getOrElse("bench_certificate.json")
     val tolerance = args.lift(2).map(_.toDouble).getOrElse(50.0)
     val json = new String(Files.readAllBytes(Paths.get(benchPath)), "UTF-8")
+    // The bench output's sf path, reduced to its basename: the
+    // certificate's medians only adjudicate runs at the same data scale.
+    val sf = {
+      val i = json.indexOf(""""sf":"""")
+      require(i >= 0, "not a graft.Bench output: no sf field")
+      val raw = json.substring(i + 6, json.indexOf('"', i + 6))
+      Paths.get(raw).getFileName.toString
+    }
     val cert = BenchCertificate.create(System.currentTimeMillis(),
-      parseBenchQueries(json), validDays = 90, tolerancePct = tolerance)
+      parseBenchQueries(json), validDays = 90, tolerancePct = tolerance,
+      sf = sf)
     BenchCertificate.write(Paths.get(outPath), cert)
     println(s"[certify] ${cert.queries.size} queries from $benchPath -> " +
-      s"$outPath (tolerance ${tolerance}%, valid ${cert.validDays} days)")
+      s"$outPath (sf $sf, tolerance ${tolerance}%, valid ${cert.validDays} days)")
   }
 }

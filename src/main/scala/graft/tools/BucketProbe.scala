@@ -21,10 +21,10 @@ object BucketProbe {
       .debugBucketSizes(emb, "vec_id", "embedding", nPlanes, 8)
       .cache()
     val pairs = sizes.agg(sum((col("sz") * (col("sz") - 1) / 2)
-      .cast("long"))).head.getLong(0)
+      .cast("long"))).head().getLong(0)
     val top = sizes.orderBy(col("sz").desc).limit(10).collect()
       .map(_.getLong(1))
-    val stats = sizes.agg(count(lit(1)), avg("sz"), max("sz")).head
+    val stats = sizes.agg(count(lit(1)), avg("sz"), max("sz")).head()
     println(s"[probe] buckets=${stats.getLong(0)} avg=${stats.getDouble(1)} " +
       s"max=${stats.getLong(2)} candidate_pairs=$pairs top10=${top.mkString(",")}")
     spark.stop()

@@ -49,7 +49,7 @@ object SimhashBucketCensus {
       val sizes = keyed.groupByKey(identity).count()
         .toDF("bucket", "sz").persist()
       val stats = sizes.agg(count(lit(1)), avg("sz"), max("sz"),
-        sum(expr("sz * (sz - 1) div 2"))).head
+        sum(expr("sz * (sz - 1) div 2"))).head()
       val top = sizes.orderBy(col("sz").desc).limit(10).collect()
         .map(_.getLong(1))
       println(s"[census] $tag buckets=${stats.getLong(0)} " +

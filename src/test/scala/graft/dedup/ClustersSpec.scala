@@ -112,6 +112,60 @@ class ClustersSpec extends SparkSpecBase {
       (4L, 4L, 2L, 7L, 1), (5L, 4L, 2L, 7L, 0), (9L, 9L, 1L, 1L, 1)))
   }
 
+  test("canonicalKeep null scores: lose to non-null; all-null cluster still keeps one") {
+    // The aggregate form must reproduce the window form's desc-nulls-last
+    // semantics: a null score never beats a non-null one, and a cluster
+    // whose EVERY score is null still elects exactly one survivor
+    // (min id) via the null-safe best-score match.
+    val docs = Seq(
+      (1L, Option.empty[Long]), (2L, Some(5L)), (3L, Some(5L)), // 2 wins (tie→min id among non-null)
+      (4L, Option.empty[Long]), (5L, Option.empty[Long]),       // all-null → 4 wins
+      (9L, Option.empty[Long])                                  // null-score singleton keeps itself
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.canonicalKeep(docs, pairs, "doc_id",
+        org.apache.spark.sql.functions.col("quality"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+    assert(out === Array(
+      (1L, 1L, 3L, None, 0), (2L, 1L, 3L, Some(5L), 1), (3L, 1L, 3L, Some(5L), 0),
+      (4L, 4L, 2L, None, 1), (5L, 4L, 2L, None, 0),
+      (9L, 9L, 1L, None, 1)))
+  }
+
+  test("canonicalKeep plans with aggregates, never a corpus-wide window") {
+    // The scale contract: per-component quantities come from
+    // groupBy(cluster_id) aggregates (map-side combinable), not
+    // partition-by-cluster_id windows — a near-corpus-sized component
+    // must never concentrate in one window task.
+    val docs = (0L until 100L).map(i => (i, i % 7)).toDF("doc_id", "quality")
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val plan = Clusters.canonicalKeep(docs, pairs, "doc_id",
+      org.apache.spark.sql.functions.col("quality"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"window node in canonicalKeep plan:\n$plan")
+  }
+
+  test("canonicalKeep handles a single giant component (one keep, full size)") {
+    // 2000 docs in ONE chain component — the degenerate shape the window
+    // form would funnel into a single task. Correctness here pins the
+    // aggregate form's behavior on the worst-case topology.
+    val docs = (0L until 2000L).map(i => (i, (i * 31L) % 97L))
+      .toDF("doc_id", "quality")
+    val pairs = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val rows = Clusters.canonicalKeep(docs, pairs, "doc_id",
+      org.apache.spark.sql.functions.col("quality")).collect()
+    assert(rows.length === 2000)
+    assert(rows.forall(_.getLong(1) === 0L))
+    assert(rows.forall(_.getLong(2) === 2000L))
+    assert(rows.map(_.getInt(4)).sum === 1)
+    val kept = rows.find(_.getInt(4) == 1).get
+    val best = rows.minBy(r => (-r.getLong(3), r.getLong(0)))
+    assert(kept.getLong(0) === best.getLong(0))
+  }
+
   test("canonicalKeep emits exactly one keep per cluster on a random graph") {
     val rnd = new Random(7)
     val docs = (0L until 300L).map(i => (i, rnd.nextInt(50).toLong))

@@ -1,0 +1,95 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import org.apache.spark.storage.StorageLevel
+
+/** Cross-operator reuse of the PPJoin pair stream
+  * ([[Dedup.ngramJaccardCached]]) — the q27→q81→q91 pipeline shape:
+  * pair reporting, the purge table, and canonical keep share ONE
+  * candidate-generation + verify pass (the `PairCacheSpec` precedent
+  * for the embedding family, applied to text). */
+class JaccardCacheSpec extends SparkSpecBase {
+
+  private def docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("cached pair stream: second call reuses the SAME persisted frame") {
+    Dedup.clearJaccardCache()
+    val a = Dedup.ngramJaccardCached(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val b = Dedup.ngramJaccardCached(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    assert(a eq b)
+    assert(a.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    // and the reused stream is exactly the uncached operator's output
+    val direct = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cached = b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached === direct && cached.nonEmpty)
+    Dedup.clearJaccardCache()
+  }
+
+  test("distinct parameters are distinct entries") {
+    Dedup.clearJaccardCache()
+    val t08 = Dedup.ngramJaccardCached(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val t05 = Dedup.ngramJaccardCached(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(!(t08 eq t05))
+    assert(t08.count() <= t05.count()) // tighter threshold, fewer pairs
+    Dedup.clearJaccardCache()
+  }
+
+  test("catalog.clearCache() between consumers: hit re-persists, stays exact") {
+    Dedup.clearJaccardCache()
+    val a = Dedup.ngramJaccardCached(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val before = a.count()
+    spark.catalog.clearCache() // the harness convention between queries
+    assert(a.storageLevel == StorageLevel.NONE)
+    val b = Dedup.ngramJaccardCached(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    assert(b eq a) // entry survives; storage was what clearCache dropped
+    assert(b.storageLevel == StorageLevel.MEMORY_AND_DISK) // re-persisted
+    assert(b.count() === before)
+    Dedup.clearJaccardCache()
+  }
+
+  test("q27 then q91 pays the PPJoin stages ONCE (stage-count proof)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val dir = "/root/testdata/sf0.001"
+    val defs = graft.queries.TextQueries.queries.toMap
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    }
+    // listener events post asynchronously: read the counter only after
+    // it has stopped moving, so each delta covers one query's jobs
+    def settled(): Int = {
+      var prev = -1; var cur = stages.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = stages.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // cold: q91 with an empty pair cache submits the full PPJoin
+      // candidate + verify + CC + keep stage graph
+      Dedup.clearJaccardCache(); spark.catalog.clearCache()
+      val s0 = settled()
+      val alone = defs("q91_canonical_keep").fn(spark, dir).collect()
+      val cold = settled() - s0
+      // pipeline: q27 first (materialized through the harness's noop
+      // sink), then q91 — the memoized pair frame's cached partitions
+      // truncate q91's lineage, so the PPJoin stages are never
+      // SUBMITTED (DAGScheduler skips fully-cached parents)
+      Dedup.clearJaccardCache(); spark.catalog.clearCache()
+      defs("q27_ngram_jaccard").fn(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val s1 = settled()
+      val piped = defs("q91_canonical_keep").fn(spark, dir).collect()
+      val warm = settled() - s1
+      assert(warm < cold,
+        s"q91 after q27 should skip PPJoin stages: warm=$warm cold=$cold")
+      // and reuse changes the plan's runtime only, never the rows
+      assert(piped.map(_.toString).sorted.toSeq ===
+        alone.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Dedup.clearJaccardCache()
+    }
+  }
+}

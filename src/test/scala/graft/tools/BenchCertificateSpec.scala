@@ -48,7 +48,7 @@ class BenchCertificateSpec extends AnyFunSuite {
   }
 
   test("certificate round-trips through its flat JSON file form") {
-    val cert = BenchCertificate.create(t0, base, 90, 15.0)
+    val cert = BenchCertificate.create(t0, base, 90, 15.0, sf = "sf10full")
     val f = java.nio.file.Files.createTempFile("graft_cert", ".json")
     BenchCertificate.write(f, cert)
     val back = BenchCertificate.read(f)
@@ -56,5 +56,16 @@ class BenchCertificateSpec extends AnyFunSuite {
     assert(back.validDays === cert.validDays)
     assert(back.tolerancePct === cert.tolerancePct)
     assert(back.queries === cert.queries)
+    assert(back.sf === "sf10full")
+  }
+
+  test("pre-round-12 certificates without an sf field parse as sf0.1") {
+    // Every certificate minted before the field existed measured sf0.1;
+    // the witness gate must keep working against a committed old file.
+    val old = """{"created_ms":1786765797298,"valid_days":90,""" +
+      """"tolerance_pct":50.0,"queries":{"q1":1.011,"q2":0.699}}"""
+    val cert = BenchCertificate.fromJson(old)
+    assert(cert.sf === "sf0.1")
+    assert(cert.queries === Map("q1" -> 1.011, "q2" -> 0.699))
   }
 }
