@@ -739,6 +739,43 @@ object Dedup {
     }
   }
 
+  /** Edit-distance near-dup pairs: the memoized PPJoin pair stream
+    * ([[ngramJaccardCached]] — q27/q81/q91's stream, this is its 4th
+    * consumer) verified by character-level Levenshtein similarity,
+    * `1 − lev(a,b) / max(len(a), len(b))`. The shingle-Jaccard floor is
+    * the CANDIDATE generator (set-level similarity is cheap and
+    * bucketable at 100 TB); the edit-similarity cut is the VERIFier for
+    * consumers that need sequence-level closeness — Jaccard is
+    * order-blind, so a shuffled paragraph passes it while failing this.
+    * Levenshtein is O(len·len) per pair, paid only on the
+    * Jaccard-surviving pairs; both engines' built-in `levenshtein` makes
+    * the oracle exact. Reference behavior: near-dup REPORTING like
+    * `ngramJaccard`, one row per surviving (id_a < id_b) pair.
+    *
+    * Scale shape: the only work beyond the shared pair stream is two
+    * hash joins that carry each surviving pair's texts to one task and a
+    * per-row codegen'd levenshtein — no new shuffle class, no window, no
+    * driver state. Text moves only for PAIRS (pair volume ≪ corpus by
+    * the Jaccard floor), never corpus-wide. */
+  def editNearDup(df: DataFrame, id: String, text: String,
+                  n: Int = 3, jaccardFloor: Double = 0.8,
+                  minEditSim: Double = 0.95,
+                  maxDf: Int = DefaultMaxDf): DataFrame = {
+    val pairs = ngramJaccardCached(df, id, text, n, jaccardFloor, maxDf)
+    val docs = df.select(col(id), col(text))
+    pairs
+      .join(docs.select(col(id).as("id_a"), col(text).as("__text_a")),
+        Seq("id_a"))
+      .join(docs.select(col(id).as("id_b"), col(text).as("__text_b")),
+        Seq("id_b"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        levenshtein(col("__text_a"), col("__text_b")).cast("double") /
+          greatest(length(col("__text_a")), length(col("__text_b"))), 6))
+      .filter(col("edit_sim") >= minEditSim)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"), col("edit_sim"))
+  }
+
   /** The PPJoin pipeline split at the candidate boundary: (per-doc
     * shingle-array table, deduped candidate pair stream). Exactly
     * [[ngramJaccard]] minus the verify join — exposed package-wide so

@@ -715,6 +715,36 @@ object TextQueries extends QueryPack {
           (row_number() OVER (PARTITION BY h % 8 ORDER BY h, seq_id) - 1)::BIGINT
             AS pos
         FROM a ORDER BY shard, pos"""),
-      "Deterministic shuffled training shards over packed sequences")
+      "Deterministic shuffled training shards over packed sequences"),
+
+    // Sequence-level near-dup verification: the memoized PPJoin pair
+    // stream (q27/q81/q91's — 4th consumer) re-verified by character
+    // Levenshtein similarity. Jaccard is order-blind (a shuffled
+    // paragraph passes it); consumers exporting "same document, edited"
+    // pairs need the sequence-level cut. Threshold 0.95 chosen against
+    // the corpus (sf0.01: keeps 24 of 25 Jaccard-0.8 pairs — the one
+    // drop is a reordered variant, exactly the case the operator
+    // exists to separate).
+    "q93_edit_neardup" -> QueryDef(
+      (s, dir) => Dedup.editNearDup(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", n = 3, jaccardFloor = 0.8, minEditSim = 0.95)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $ShingleCte,
+        $JaccardVerifySql,
+        jp AS (
+          SELECT id_a, id_b,
+            round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+          FROM common JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+          WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.8),
+        sims AS (
+          SELECT id_a, id_b, jaccard,
+            round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+                  / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+          FROM jp JOIN documents a ON a.doc_id = id_a
+                  JOIN documents b ON b.doc_id = id_b)
+        SELECT id_a, id_b, jaccard, edit_sim FROM sims
+        WHERE edit_sim >= 0.95 ORDER BY id_a, id_b"""),
+      "Edit-distance near-dup verify over the shared PPJoin pair stream")
   )
 }

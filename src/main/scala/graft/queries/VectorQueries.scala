@@ -249,6 +249,55 @@ object VectorQueries extends QueryPack {
           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
           (vec_id = cluster_id)::INT AS keep
         FROM lab ORDER BY vec_id"""),
-      "Semantic dedup: embedding near-dup pairs → components → purge table")
+      "Semantic dedup: embedding near-dup pairs → components → purge table"),
+
+    // kNN label propagation / label-noise audit: each vector takes the
+    // majority label of its 5 nearest IVF-ANN neighbors (q71's
+    // oracle-exact path — md5-seeded adaptive cells, probe 4), tie →
+    // smaller label; `agree` flags where the stored label disagrees
+    // with its neighborhood (the curation signal: candidate mislabels /
+    // out-of-distribution rows). Fully distributed: the per-vector vote
+    // is a groupBy + a ≤-k-row window per vector; vectors whose probed
+    // cells hold no other member have no neighborhood and are omitted
+    // (same rule both engines).
+    "q94_knn_labels" -> QueryDef(
+      (s, dir) => Similarity.knnLabels(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", k = 5, cells = 0, probes = 4)
+        .orderBy(col("vec_id")),
+      Some("""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nc AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS nc FROM p),
+        comp AS (SELECT c.range::INT AS c, j.range::INT AS j,
+            ('0x' || substr(md5('ivf:' || c.range::VARCHAR || ':'
+               || j.range::VARCHAR), 1, 8))::BIGINT
+              / 2147483648.0 - 1.0 AS comp
+          FROM range(65536) c, range(64) j, nc WHERE c.range < nc.nc),
+        cent AS (SELECT c, list(comp ORDER BY j) AS cv FROM comp GROUP BY c),
+        dots AS (SELECT p.vec_id, cent.c,
+            floor(list_dot_product(p.v, cent.cv) * 1e6)::BIGINT AS q
+          FROM p, cent),
+        ord AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY q DESC, c) AS rn FROM dots),
+        members AS (SELECT vec_id, c FROM ord WHERE rn = 1),
+        probes AS (SELECT vec_id, c FROM ord WHERE rn <= 4),
+        cand AS (SELECT pr.vec_id AS id_a, m.vec_id AS id_b
+          FROM probes pr JOIN members m ON pr.c = m.c
+          WHERE pr.vec_id <> m.vec_id),
+        scored AS (SELECT cand.id_a, cand.id_b,
+            list_cosine_similarity(a.v, b.v) AS cosine
+          FROM cand JOIN p a ON cand.id_a = a.vec_id
+                    JOIN p b ON cand.id_b = b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                ORDER BY cosine DESC, id_b) AS rank FROM scored),
+        nbrs AS (SELECT id_a, id_b FROM r WHERE rank <= 5),
+        votes AS (SELECT n.id_a, e.label AS nbr_label, count(*) AS votes
+          FROM nbrs n JOIN embeddings e ON e.vec_id = n.id_b GROUP BY 1, 2),
+        pred AS (SELECT id_a, nbr_label, votes, row_number() OVER (
+            PARTITION BY id_a ORDER BY votes DESC, nbr_label ASC) AS rn
+          FROM votes)
+        SELECT p.id_a AS vec_id, e.label, p.nbr_label AS label_pred, p.votes,
+          (e.label = p.nbr_label)::INT AS agree
+        FROM pred p JOIN embeddings e ON e.vec_id = p.id_a
+        WHERE p.rn = 1 ORDER BY vec_id"""),
+      "kNN label propagation + label-noise audit over IVF-ANN neighbors")
   )
 }

@@ -970,4 +970,34 @@ object Similarity {
     df.select(col(label).as("label"), posexplode(col(vec)).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).as("pos"))
       .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
+
+  /** kNN label propagation / label-noise audit: each vector takes the
+    * majority label of its `k` nearest [[ivfCosineTopK]] neighbors
+    * (tie → smaller label), and `agree` flags rows whose STORED label
+    * disagrees with the neighborhood — the curation signal (candidate
+    * mislabels / out-of-distribution rows; the semi-supervised cousin
+    * of the reference's quality gates). Vectors whose probed cells hold
+    * no other member have no neighborhood and are omitted.
+    *
+    * Scale shape: everything beyond the ANN pass is one hash
+    * `groupBy(id, label)` (map-side combined) and a window bounded at
+    * ≤ k rows per vector — no new shuffle class, no driver state. */
+  def knnLabels(df: DataFrame, id: String, vec: String, label: String,
+                k: Int = 5, cells: Int = 0, probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = ivfCosineTopK(df, id, vec, k, cells, probes)
+    val votes = nn
+      .join(df.select(col(id).as("id_b"), col(label).as("nbr_label")),
+        Seq("id_b"))
+      .groupBy(col("id_a"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("votes").desc, col("nbr_label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id_a").as(id), col("nbr_label").as("label_pred"),
+        col("votes"))
+      .join(df.select(col(id), col(label).as("label")), Seq(id))
+      .select(col(id), col("label"), col("label_pred"), col("votes"),
+        (col("label") === col("label_pred")).cast("int").as("agree"))
+  }
 }

@@ -20,7 +20,11 @@ import graft.{GraftSession, SparkEntry, TaskMetricsCensus}
   * tell.
   *
   * Usage: `runMain graft.tools.PartitionPhase <query> <sfDir> [parts]`
-  * with `parts` comma-separated (default "32,256");
+  * with `parts` comma-separated (default "32,256"); the token
+  * `adaptive` is a cell too — it plans with the engine-default AQE
+  * byte-based coalescing (initialPartitionNum from the session build)
+  * instead of a pinned count, so pinned-vs-adaptive adjudicates
+  * same-phase like any pair of pinned counts.
   * `SPARK_GRAFT_PHASE_RUNS` = interleaved rounds (default 2).
   */
 object PartitionPhase {
@@ -28,7 +32,7 @@ object PartitionPhase {
     val query = args.headOption.getOrElse("q91_canonical_keep")
     val dir = args.lift(1).getOrElse("target/sf10full")
     val parts = args.lift(2).getOrElse("32,256")
-      .split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val rounds = sys.env.getOrElse("SPARK_GRAFT_PHASE_RUNS", "2").toInt
     val fn = SparkEntry.queries.getOrElse(query,
       sys.error(s"unknown query '$query'"))
@@ -47,15 +51,24 @@ object PartitionPhase {
     def dec(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     // Interleave so no partition setting monopolizes a weather phase.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     for (i <- 1 to rounds; p <- parts) {
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      // Both confs are runtime SQLConfs, so each cell replans with its
+      // own partitioning while heap/JIT/page cache stay constant.
+      if (p == "adaptive") {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      } else {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+      }
       drain(); census.reset()
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
       println(s"""{"tool":"partition_phase","query":"$query","dir":"$dir",""" +
-        s""""round":$i,"partitions":$p,"sec":${dec(dt, 1)},""" +
+        s""""round":$i,"partitions":"$p","sec":${dec(dt, 1)},""" +
         s""""gc_s":${dec(census.gcMs.get / 1e3, 1)},""" +
         s""""shuffle_write_gb":${dec(census.shufWrite.get / 1e9, 3)},""" +
         s""""shuffle_read_gb":${dec(census.shufRead.get / 1e9, 3)},""" +

@@ -394,4 +394,35 @@ class DedupSpec extends SparkSpecBase {
     assert(capped === uncapped)
     assert(capped.nonEmpty)
   }
+
+  test("editNearDup: sequence-level cut separates edits from reorderings") {
+    // 1↔2: identical (edit_sim 1.0). 1↔3: one word changed mid-doc
+    // (small char edit — passes a high cut). 1↔4: the SAME token
+    // multiset with the two halves swapped — shingle-Jaccard stays high
+    // (order-blind) but half the characters move, so the sequence-level
+    // verify drops it. That separation is the operator's contract.
+    val half1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val half2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val corpus = Seq(
+      (1L, s"$half1 $half2"),
+      (2L, s"$half1 $half2"),
+      (3L, s"$half1 $half2".replace("echo", "ecko")),
+      (4L, s"$half2 $half1")
+    ).toDF("doc_id", "text")
+    val jacc = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // precondition: the order-blind candidate stage passes ALL of these
+    assert(jacc.contains((1L, 2L)) && jacc.contains((1L, 4L)),
+      s"jaccard floor should pass both the dup and the reordering: $jacc")
+    val out = Dedup.editNearDup(corpus, "doc_id", "text", 3,
+        jaccardFloor = 0.5, minEditSim = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("edit_sim")).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === 1.0)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 1.0)
+    assert(!out.contains((1L, 4L)),
+      "reordered halves passed the sequence-level cut")
+    // symmetric closure sanity: 2 pairs with doc 2 mirror doc 1's
+    assert(out.contains((2L, 3L)) && !out.contains((2L, 4L)))
+  }
 }

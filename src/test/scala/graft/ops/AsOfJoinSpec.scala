@@ -61,7 +61,9 @@ class AsOfJoinSpec extends SparkSpecBase {
       (col("id") * 1400L).as("ts"), col("id").as("sig"))
     // non-empty partitions of the FULL result (.rdd materializes every
     // column, so the window can't be pruned away) = the as-of stage's
-    // working tasks (specs run 4 shuffle partitions, AQE coalescing off)
+    // working tasks (adaptive coalescing merges only same-byte-class
+    // partitions, so the salted spread stays multi-task while the plain
+    // form's single hot key is one partition at ANY partition count)
     def nonEmptyTasks(df: org.apache.spark.sql.DataFrame): Int =
       df.rdd.mapPartitionsWithIndex((i, it) =>
         if (it.hasNext) Iterator(i) else Iterator.empty).collect().length

@@ -212,4 +212,31 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos"), r.getAs[Double]("centroid")))
     assert(out.toSeq === Seq((0, 1, 2.0), (0, 2, 4.0), (1, 1, 2.0), (1, 2, 2.0)))
   }
+
+  test("knnLabels: neighborhood majority wins; mislabeled row flagged agree=0") {
+    // Three tight clusters of IDENTICAL vectors (identical vector ->
+    // identical IVF cell by determinism, so each cluster is guaranteed
+    // co-bucketed regardless of the md5 centroid draw), 8 members each.
+    // Vector 23 sits in cluster C but carries label 0 — the planted
+    // label-noise row.
+    val base = Map(0 -> Seq(1.0f, 0.0f, 0.0f), 1 -> Seq(0.0f, 1.0f, 0.0f),
+      2 -> Seq(0.0f, 0.0f, 1.0f))
+    val rows = (0L until 24L).map { i =>
+      val c = (i / 8).toInt
+      val lbl = if (i == 23L) 0 else c
+      (i, base(c), lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabels(df, "vec_id", "embedding", "label",
+        k = 5, cells = 4, probes = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label_pred"), r.getAs[Int]("agree")))).toMap
+    // every vector's 5 nearest neighbors are cluster-mates (cosine 1 vs
+    // <=0 cross-cluster), so label_pred = cluster majority everywhere
+    rows.foreach { case (i, _, _) =>
+      assert(out(i)._1 === (i / 8).toInt, s"vec $i predicted wrong label") }
+    // the planted mislabel is the ONLY disagreement
+    assert(out.count(_._2._2 == 0) === 1)
+    assert(out(23L) === ((2, 0)))
+  }
 }
