@@ -754,22 +754,74 @@ object Dedup {
     *
     * Scale shape: the only work beyond the shared pair stream is two
     * hash joins that carry each surviving pair's texts to one task and a
-    * per-row codegen'd levenshtein — no new shuffle class, no window, no
-    * driver state. Text moves only for PAIRS (pair volume ≪ corpus by
-    * the Jaccard floor), never corpus-wide. */
+    * per-row codegen'd BANDED levenshtein — no new shuffle class, no
+    * window, no driver state. Text moves only for PAIRS (pair volume ≪
+    * corpus by the Jaccard floor), never corpus-wide.
+    *
+    * The verify uses the THRESHOLD form `levenshtein(a, b, thr)`
+    * (Ukkonen banding: O(len·thr) per pair instead of O(len²), returns
+    * −1 above thr). thr is derived from the corpus max text length so
+    * the band PROVABLY contains every surviving pair: a pair banded out
+    * has lev > (1 − minEditSim + 1e-6)·Lmax ≥ that bound on its own
+    * lengths, so its 6-dp-rounded similarity is strictly below the cut —
+    * the output is bit-identical to the unbanded form (spec-pinned), the
+    * full O(len²) matrix is just never materialized for the ~0.95-cut
+    * band. Measured at sf100: the unbanded verify was 203–221 s of the
+    * q27→q93 pipeline's marginal cost; see PLAN.md round 12c.
+    *
+    * `maxTextLen = 0` (default) probes the corpus max length EAGERLY at
+    * DataFrame-construction time (one column-pruned aggregate — the
+    * documented-eager-probe convention of `simhashPairs`); pass the
+    * known bound to skip the probe on derived/expensive inputs.
+    *
+    * `candidates` (default: `df` itself) is the frame fed to the
+    * MEMOIZED pair stream — pass the pipeline's shared shape (e.g. the
+    * compute-spread `balanced(...)` form q27/q81/q91 key their memo on)
+    * there, and keep `df` as the RAW corpus: the text joins and the
+    * length probe only need a pruned scan, and routing them through a
+    * repartitioned frame would re-pay a gratuitous full-corpus text
+    * shuffle per consumer (measured: the q27→q93 sf100 marginal dropped
+    * from 203–227 s to the tens once the joins read the raw scan). */
   def editNearDup(df: DataFrame, id: String, text: String,
                   n: Int = 3, jaccardFloor: Double = 0.8,
                   minEditSim: Double = 0.95,
-                  maxDf: Int = DefaultMaxDf): DataFrame = {
-    val pairs = ngramJaccardCached(df, id, text, n, jaccardFloor, maxDf)
+                  maxDf: Int = DefaultMaxDf,
+                  maxTextLen: Int = 0,
+                  candidates: DataFrame = null): DataFrame = {
+    val candDf = Option(candidates).getOrElse(df)
+    val pairs = ngramJaccardCached(candDf, id, text, n, jaccardFloor, maxDf)
+    val lmax =
+      if (maxTextLen > 0) maxTextLen
+      else Option(df.agg(max(length(col(text)))).head.get(0))
+        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+    // +1e-6 absorbs the 6-dp output rounding: round(sim, 6) >= cut needs
+    // sim >= cut - 5e-7, i.e. lev <= (1 - cut + 5e-7)·len — the band must
+    // sit ABOVE that or a boundary pair could round up into the output.
+    val thr = math.max(1,
+      math.ceil((1.0 - minEditSim + 1e-6) * lmax).toInt)
     val docs = df.select(col(id), col(text))
     pairs
       .join(docs.select(col(id).as("id_a"), col(text).as("__text_a")),
         Seq("id_a"))
       .join(docs.select(col(id).as("id_b"), col(text).as("__text_b")),
         Seq("id_b"))
+      // explode(array(...)) is a deliberate single-evaluation BARRIER:
+      // levenshtein is a ms-scale expression here (a 600×band lattice
+      // per pair), and Catalyst's project/filter collapse substitutes a
+      // plain alias into every consumer — the filter below plus the
+      // similarity projection would re-run the lattice once per
+      // reference (measured at sf100: the un-barriered tail cost ~2.3
+      // lev-passes; stage census showed ~7 passes across the join
+      // stages in the full query). Predicates cannot be substituted
+      // through a Generate, so the lattice runs EXACTLY once per pair;
+      // the generator itself is codegen'd and adds nothing measurable.
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("__text_a"), col("__text_b"),
+        explode(array(levenshtein(col("__text_a"), col("__text_b"), thr)))
+          .as("__lev"))
+      .filter(col("__lev") >= 0)
       .withColumn("edit_sim", round(lit(1.0) -
-        levenshtein(col("__text_a"), col("__text_b")).cast("double") /
+        col("__lev").cast("double") /
           greatest(length(col("__text_a")), length(col("__text_b"))), 6))
       .filter(col("edit_sim") >= minEditSim)
       .select(col("id_a"), col("id_b"),

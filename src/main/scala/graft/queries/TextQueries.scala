@@ -726,9 +726,16 @@ object TextQueries extends QueryPack {
     // drop is a reordered variant, exactly the case the operator
     // exists to separate).
     "q93_edit_neardup" -> QueryDef(
-      (s, dir) => Dedup.editNearDup(balanced(Tables.documents(s, dir)),
-          "doc_id", "text", n = 3, jaccardFloor = 0.8, minEditSim = 0.95)
-        .orderBy(col("id_a"), col("id_b")),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // candidates = the balanced form q27/q81/q91 key the memo on
+        // (compute-spread for the shingle kernel); the text joins and
+        // length probe read the RAW scan — no repartition re-pay.
+        Dedup.editNearDup(docs, "doc_id", "text", n = 3,
+            jaccardFloor = 0.8, minEditSim = 0.95,
+            candidates = balanced(docs))
+          .orderBy(col("id_a"), col("id_b"))
+      },
       Some(s"""WITH $ShingleCte,
         $JaccardVerifySql,
         jp AS (

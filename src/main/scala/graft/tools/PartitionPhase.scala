@@ -67,6 +67,14 @@ object PartitionPhase {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
+      // Drop the MEMOIZED pair streams, not just their storage: a memo
+      // entry persisted in cell 1 freezes its physical plan (the
+      // InMemoryRelation's cachedPlan) under cell 1's partition conf, so
+      // a later cell would re-execute that sub-plan at the WRONG setting
+      // and blur the A/B. (Bench/Verify don't vary conf per query, so
+      // their clearCache()-only hygiene stays correct.)
+      graft.dedup.Dedup.clearJaccardCache()
+      graft.similarity.Similarity.clearPairCache()
       println(s"""{"tool":"partition_phase","query":"$query","dir":"$dir",""" +
         s""""round":$i,"partitions":"$p","sec":${dec(dt, 1)},""" +
         s""""gc_s":${dec(census.gcMs.get / 1e3, 1)},""" +

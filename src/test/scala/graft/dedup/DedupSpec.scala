@@ -425,4 +425,43 @@ class DedupSpec extends SparkSpecBase {
     // symmetric closure sanity: 2 pairs with doc 2 mirror doc 1's
     assert(out.contains((2L, 3L)) && !out.contains((2L, 4L)))
   }
+
+  test("editNearDup banding is lossless: equals the unbanded verify exactly") {
+    import org.apache.spark.sql.functions._
+    // Corpus with pairs straddling the cut from both sides, including a
+    // boundary-ish small edit: the banded kernel (levenshtein thr form)
+    // must emit the identical (pairs, values) set as a full O(len²)
+    // verify over the same Jaccard candidates.
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words),
+      (2L, words),                                  // identical
+      (3L, words.replace("w7", "x7")),              // 1-char edit
+      (4L, words.replace("w7 w8 w9", "a7 b8 c9")),  // 3-token edit
+      (5L, words.replace("w20", "w20x w20y"))       // insertion
+    ).toDF("doc_id", "text")
+    def unbanded(minSim: Double) = Dedup
+      .ngramJaccardCached(corpus, "doc_id", "text", 3, 0.5)
+      .join(corpus.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(corpus.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        col("edit_sim"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+       r.getAs[Double]("jaccard"), r.getAs[Double]("edit_sim"))).toSet
+    for (cut <- Seq(0.9, 0.97)) {
+      val want = asSet(unbanded(cut))
+      val probed = asSet(Dedup.editNearDup(corpus, "doc_id", "text", 3,
+        jaccardFloor = 0.5, minEditSim = cut))
+      val supplied = asSet(Dedup.editNearDup(corpus, "doc_id", "text", 3,
+        jaccardFloor = 0.5, minEditSim = cut, maxTextLen = 100000))
+      assert(probed === want, s"banded (probed Lmax) diverged at cut $cut")
+      assert(supplied === want, s"banded (supplied Lmax) diverged at cut $cut")
+      assert(want.nonEmpty || cut > 0.96) // the 0.9 cut must exercise output
+    }
+  }
 }
