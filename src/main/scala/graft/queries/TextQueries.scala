@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Curation, Dsir, LangModel, Packing, Redact, Shards, TextMetrics}
+import graft.text.{Curation, Dsir, LangModel, Packing, Redact, Retrieval, Shards, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -752,6 +752,30 @@ object TextQueries extends QueryPack {
                   JOIN documents b ON b.doc_id = id_b)
         SELECT id_a, id_b, jaccard, edit_sim FROM sims
         WHERE edit_sim >= 0.95 ORDER BY id_a, id_b"""),
-      "Edit-distance near-dup verify over the shared PPJoin pair stream")
+      "Edit-distance near-dup verify over the shared PPJoin pair stream"),
+
+    // Inverted-index BM25 search: the relevance-scoring stage (query-
+    // driven data selection / curation triage). Query terms filter the
+    // token stream BEFORE any exchange; df is a ≤|query|-row broadcast;
+    // top-k plans as TakeOrderedAndProject, never a global sort. The
+    // sf0.01 rank-25 boundary gap is ~2e-3, far above the 6-dp rounding
+    // both engines share.
+    "q95_bm25_search" -> QueryDef(
+      (s, dir) => Retrieval.bm25TopK(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", query = Seq("spark", "window", "join"), k = 25)
+        .orderBy(col("score").desc, col("doc_id")),
+      Some(Retrieval.bm25OracleSql("'spark','window','join'", k = 25)),
+      "BM25 query search over an inverted index (top-k, TakeOrdered plan)"),
+
+    // TF-IDF keyword extraction: top-m terms per document — the
+    // word-count plan shape (map-side combined (doc, term) counts, a
+    // vocabulary-sized df join where AQE splits stopword skew, and a
+    // per-document window whose state is one doc's vocabulary).
+    "q96_tfidf_terms" -> QueryDef(
+      (s, dir) => Retrieval.tfidfTopTerms(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", m = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(Retrieval.tfidfOracleSql(m = 3)),
+      "TF-IDF top-m keyword extraction per document (word-count shape)")
   )
 }
