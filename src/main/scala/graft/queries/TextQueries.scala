@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Curation, Dsir, LangModel, Packing, Redact, Retrieval, Shards, TextMetrics}
+import graft.text.{Budget, Cooccur, Curation, Dsir, LangModel, Packing, Redact, Retrieval, Shards, TextMetrics}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -776,6 +776,58 @@ object TextQueries extends QueryPack {
           "doc_id", "text", m = 3)
         .orderBy(col("doc_id"), col("rank")),
       Some(Retrieval.tfidfOracleSql(m = 3)),
-      "TF-IDF top-m keyword extraction per document (word-count shape)")
+      "TF-IDF top-m keyword extraction per document (word-count shape)"),
+
+    // Token-budget corpus selection: fill a fixed training-token budget
+    // with the best-scoring docs (score here = 4-dp type-token ratio, the
+    // q25 quality signal). The semantic spec is a corpus-wide ordered
+    // cumsum window; the implementation rides GlobalRank's two-pass
+    // distributed prefix sum — driver state O(partitions). Budget 15000
+    // splits sf0.01 at 356/500 with a clean boundary (cum 14980 in,
+    // 15050 out).
+    "q97_token_budget" -> QueryDef(
+      (s, dir) => Budget.tokenBudgetSelect(balanced(Tables.documents(s, dir)),
+          "doc_id", "text",
+          score = round(
+            size(array_distinct(split(col("text"), " "))).cast("double") /
+              size(split(col("text"), " ")).cast("double"), 4),
+          budget = 15000L)
+        .orderBy(col("doc_id")),
+      Some("""WITH s AS (SELECT doc_id,
+          round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')), 4) AS score,
+          len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM s)
+        SELECT doc_id, score, n_tokens, cum_tokens,
+          (cum_tokens <= 15000)::INT AS selected
+        FROM c ORDER BY doc_id"""),
+      "Token-budget corpus selection via distributed prefix sum (greedy by quality)"),
+
+    // PMI co-occurrence association mining over document frequencies:
+    // collocation discovery / tokenizer-merge candidates. Pair stream =
+    // per-doc self-join on distinct terms (doc-bounded quadratic,
+    // inherent to co-occurrence), aggregates map-side combined.
+    "q98_pmi_cooccur" -> QueryDef(
+      (s, dir) => Cooccur.pmiPairs(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", minPairDf = 2L)
+        .orderBy(col("term_a"), col("term_b")),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(list_distinct(string_split(text, ' '))) AS term
+          FROM documents),
+        dft AS (SELECT term, count(*)::BIGINT AS df FROM t GROUP BY 1),
+        pd AS (SELECT a.term AS term_a, b.term AS term_b,
+                 count(*)::BIGINT AS pair_df
+               FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents)
+        SELECT term_a, term_b, pair_df, da.df AS df_a, db.df AS df_b,
+          round(ln((pair_df::DOUBLE * n::DOUBLE)
+                   / (da.df::DOUBLE * db.df::DOUBLE)), 6) AS pmi
+        FROM pd JOIN dft da ON da.term = term_a
+                JOIN dft db ON db.term = term_b
+        CROSS JOIN n ORDER BY term_a, term_b"""),
+      "PMI term co-occurrence mining (collocations over doc frequencies)")
   )
 }
