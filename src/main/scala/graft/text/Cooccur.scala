@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-level co-occurrence / PMI association mining: for every
@@ -12,20 +13,34 @@ import org.apache.spark.sql.functions._
   * Scale shape: per-document DISTINCT terms explode once (map-side), term
   * document-frequencies are a word-count aggregate, and the pair stream is
   * a per-document self-join keyed on the doc id — quadratic in one
-  * document's distinct vocabulary (inherent to co-occurrence counting;
-  * docs are length-bounded upstream by curation, so per-task work is
-  * bounded by the longest doc, not the corpus). The pair aggregate is
-  * map-side combined; nothing corpus-quadratic exists anywhere.
+  * document's distinct vocabulary (inherent to co-occurrence counting).
+  * That per-doc quadratic is ENFORCED bounded, not assumed: `maxDocVocab`
+  * excludes any document whose distinct-token count exceeds the cap from
+  * the pair stream, so one pathological un-curated doc (10^6 distinct
+  * terms → 10^12 pairs in a single task) can never hang a stage. The
+  * guard rides the same hash-partition-by-doc the self-join needs (an
+  * unordered count window on `__doc` — no extra exchange), and it bounds
+  * only the quadratic stage: the unary stats (term df, corpus N) are
+  * linear and stay exact over ALL docs, so conforming corpora — every
+  * doc under the cap — produce byte-identical output to an uncapped run.
+  * The pair aggregate is map-side combined; nothing corpus-quadratic
+  * exists anywhere.
   *
   * Determinism: all counts are exact longs; the PMI double is the
   * identical operation tree on both engines, rounded to 6 dp.
   */
 object Cooccur {
 
-  /** @return (term_a, term_b, pair_df, df_a, df_b, pmi) with
+  /** @param maxDocVocab skew guard on the per-doc quadratic: documents
+    *        with more distinct tokens than this are dropped from the PAIR
+    *        stream (their unary df/N contributions stay exact). The
+    *        default (65536 → ≤ ~2·10^9 pairs from one doc, spread across
+    *        that doc's task) is far above any curated document; it exists
+    *        so an un-curated outlier degrades output, not the job.
+    * @return (term_a, term_b, pair_df, df_a, df_b, pmi) with
     *         term_a < term_b, pair_df >= minPairDf, ordered by pair */
   def pmiPairs(docs: DataFrame, id: String, text: String,
-      minPairDf: Long = 2L): DataFrame = {
+      minPairDf: Long = 2L, maxDocVocab: Int = 1 << 16): DataFrame = {
     val toks = docs
       .select(col(id).as("__doc"),
         explode(array_distinct(split(col(text), " "))).as("term"))
@@ -35,8 +50,16 @@ object Cooccur {
     val dfT = toks.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
 
-    val a = toks.select(col("__doc"), col("term").as("term_a"))
-    val b = toks.select(col("__doc"), col("term").as("term_b"))
+    // Vocab guard: an unordered count window partitioned by doc reuses the
+    // hash-partitioning the self-join shuffles on anyway, so enforcing the
+    // bound costs no extra exchange.
+    val bounded = toks
+      .withColumn("__v", count(lit(1)).over(Window.partitionBy(col("__doc"))))
+      .filter(col("__v") <= maxDocVocab)
+      .drop("__v")
+
+    val a = bounded.select(col("__doc"), col("term").as("term_a"))
+    val b = bounded.select(col("__doc"), col("term").as("term_b"))
     val pairDf = a.join(b, "__doc")
       .filter(col("term_a") < col("term_b"))
       .groupBy(col("term_a"), col("term_b"))

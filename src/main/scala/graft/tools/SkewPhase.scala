@@ -1,0 +1,126 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+import graft.{GraftSession, TaskMetricsCensus}
+import graft.text.Retrieval
+
+/** Dev-only: SAME-PHASE adjudication of the q96 (TF-IDF) stopword-skew
+  * claim — "the tf ⋈ df join shuffles on term, where AQE's skew-join
+  * splits stopword-grade hot keys" (`text/Retrieval.scala` scaladoc).
+  * Round 12 shipped that claim asserted, not measured.
+  *
+  * The REGISTERED corpus can't test it: the driver documents table has a
+  * 31-term corpus-wide vocabulary, so the df side is 31 rows at every SF
+  * and the term join always broadcasts — no term-keyed SMJ exists in any
+  * shipped q96 plan (the bench plan sidecars show BroadcastHashJoin).
+  * The skew question only arises at the real-corpus shape where the
+  * vocabulary itself outgrows the broadcast threshold (100M+ distinct
+  * terms ≈ GBs of df rows). This tool builds that shape synthetically:
+  * each doc = 5 shared stopwords + 20 doc-unique terms, so at N docs the
+  * vocabulary is 20N+5 (far past broadcast — the join plans SMJ/SHJ
+  * naturally, no threshold forcing) and each stopword's postings are an
+  * N-row hot key in the term exchange while the median term has 1.
+  *
+  * Threshold scaling (documented, not silent): locally the whole tf
+  * stream is a few GB, so a stopword partition is ~100–200 MB — the
+  * SHAPE of the 100 TB problem at 1/1000 the bytes. The trigger
+  * `max(skewedPartitionThresholdInBytes, factor × median)` is therefore
+  * scaled to (32 MB, 2.0×) from the defaults (256 MB, 5×), which at real
+  * scale a tens-of-GB stopword partition vs a 64 MB median clears by
+  * orders of magnitude either way. Cells (interleaved, one session —
+  * the round-11 same-phase rule):
+  *   - skew_on   — AQE skew-join enabled with the scaled trigger
+  *   - skew_off  — AQE skew-join disabled (the straggler control)
+  * Each cell reports wall, GC, shuffle bytes, and the task-duration
+  * tail (max / p50), plus how many join nodes in the FINAL adaptive
+  * plan carry the skew=true mark.
+  *
+  * Usage: `runMain graft.tools.SkewPhase [nDocs] [topM]`;
+  * `SPARK_GRAFT_PHASE_RUNS` = interleaved rounds (default 2).
+  */
+object SkewPhase {
+
+  private class TaskDurations extends SparkListener {
+    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) durs.add(t.taskInfo.duration)
+    def reset(): Unit = durs.clear()
+    def snapshot(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      durs.asScala.map(_.longValue).toSeq.sorted
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val topM = args.lift(1).map(_.toInt).getOrElse(3)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PHASE_RUNS", "2").toInt
+    val data = s"target/skewdocs_$nDocs.parquet"
+
+    val spark = GraftSession.localFromEnv()
+    if (!Files.exists(Paths.get(data))) {
+      // 5 corpus-wide stopwords + 20 doc-unique terms per doc; pure
+      // codegen'd expressions, 32-way spread so generation parallelizes.
+      spark.range(nDocs).repartition(32).selectExpr(
+        "id AS doc_id",
+        "concat('the of and to in ', concat_ws(' ', " +
+          "transform(sequence(0, 19), j -> concat('t', id, 'x', j)))) AS text")
+        .write.mode("overwrite").parquet(data)
+    }
+    val docs = spark.read.parquet(data)
+
+    // Scaled skew trigger (see scaladoc): the local hot partition is the
+    // 100 TB shape at 1/1000 the bytes.
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+
+    val census = new TaskMetricsCensus
+    spark.sparkContext.addSparkListener(census)
+    val tasks = new TaskDurations
+    spark.sparkContext.addSparkListener(tasks)
+    def drain(): Unit =
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+    def dec(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+
+    for (i <- 1 to rounds; cell <- Seq("skew_on", "skew_off")) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+        (cell == "skew_on").toString)
+      drain(); census.reset(); tasks.reset()
+      val out = Retrieval.tfidfTopTerms(docs, "doc_id", "text", topM)
+      val qe = out.queryExecution
+      val t0 = System.nanoTime()
+      // Materialize through the query's OWN execution (not a write's) so
+      // the final adaptive plan — with any skew=true join marks — is
+      // inspectable on `qe` afterwards.
+      val n = qe.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      drain()
+      val plan = qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val skewJoins = "skew=true".r.findAllIn(plan).length
+      val durs = tasks.snapshot()
+      val maxTask = durs.lastOption.getOrElse(0L) / 1e3
+      val p50Task = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3
+      println(s"""{"tool":"skew_phase","n_docs":$nDocs,"round":$i,""" +
+        s""""cell":"$cell","sec":${dec(dt, 1)},"rows":$n,""" +
+        s""""skew_marked_joins":$skewJoins,""" +
+        s""""max_task_s":${dec(maxTask, 1)},"p50_task_s":${dec(p50Task, 2)},""" +
+        s""""n_tasks":${durs.length},""" +
+        s""""gc_s":${dec(census.gcMs.get / 1e3, 1)},""" +
+        s""""shuffle_write_gb":${dec(census.shufWrite.get / 1e9, 3)},""" +
+        s""""shuffle_read_gb":${dec(census.shufRead.get / 1e9, 3)},""" +
+        s""""disk_spill_gb":${dec(census.diskSpill.get / 1e9, 3)},""" +
+        s""""peak_task_mem_mb":${dec(census.peakTaskMem.get / 1e6, 0)}}""")
+      if (i == 1 && sys.env.contains("SPARK_GRAFT_SKEW_PLAN_OUT"))
+        java.nio.file.Files.writeString(
+          Paths.get(sys.env("SPARK_GRAFT_SKEW_PLAN_OUT") + s".$cell.txt"), plan)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

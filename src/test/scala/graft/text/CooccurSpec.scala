@@ -67,6 +67,29 @@ class CooccurSpec extends SparkSpecBase {
     assert(got(("y", "z")) < 0.0)
   }
 
+  test("maxDocVocab drops only the oversized doc's pairs; dfs stay exact") {
+    // doc 1 has vocab {x,y,z} (3 distinct) — cap 2 excludes it from the
+    // pair stream, so (y,z) — which only meets in doc 1 — vanishes and
+    // (x,y)'s pair_df drops from 2 to 1; unary stats are untouched:
+    // x's df stays 3 (docs 1,2,3 all counted).
+    val got = Cooccur.pmiPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minPairDf = 1L, maxDocVocab = 2)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(!got.contains(("y", "z")))
+    assert(got(("x", "y")) === ((1L, 3L)))   // pair_df 1, df_a(x) still 3
+    assert(got(("w", "y")) === ((1L, 2L)))   // conforming docs unaffected
+    // default cap is a no-op on a conforming corpus: byte-identical output
+    val def1 = Cooccur.pmiPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minPairDf = 1L)
+      .orderBy(col("term_a"), col("term_b")).collect().toSeq
+    val def2 = Cooccur.pmiPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minPairDf = 1L, maxDocVocab = Int.MaxValue)
+      .orderBy(col("term_a"), col("term_b")).collect().toSeq
+    assert(def1 === def2)
+  }
+
   test("independent of input partitioning") {
     val df = corpus.toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =

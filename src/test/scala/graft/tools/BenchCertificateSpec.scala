@@ -23,6 +23,33 @@ class BenchCertificateSpec extends AnyFunSuite {
     assert(math.abs(v.violations.head.ratio - 1.5) < 1e-9)
   }
 
+  test("floorSec absorbs micro-query jitter; big queries keep the % band") {
+    val cert = BenchCertificate.create(t0, Map("micro" -> 0.3, "big" -> 4.0),
+      tolerancePct = 25, floorSec = 0.5)
+    // micro: 0.3*1.25 = 0.375 but floor allows up to 0.8
+    val okMicro = BenchCertificate.validate(cert, t0 + day,
+      Map("micro" -> 0.79, "big" -> 4.0))
+    assert(okMicro.ok)
+    val badMicro = BenchCertificate.validate(cert, t0 + day,
+      Map("micro" -> 0.81, "big" -> 4.0))
+    assert(badMicro.violations.map(_.query) === Seq("micro"))
+    // big: floor is below 25% there — 4.0*1.25 = 5.0 governs
+    val badBig = BenchCertificate.validate(cert, t0 + day,
+      Map("micro" -> 0.3, "big" -> 5.01))
+    assert(badBig.violations.map(_.query) === Seq("big"))
+    assert(BenchCertificate.validate(cert, t0 + day,
+      Map("micro" -> 0.3, "big" -> 4.99)).ok)
+  }
+
+  test("floorSec round-trips through JSON; pre-round-13 certs parse as 0") {
+    val cert = BenchCertificate.create(t0, base, 90, 25.0, floorSec = 0.5)
+    val back = BenchCertificate.fromJson(BenchCertificate.toJson(cert))
+    assert(back.floorSec === 0.5)
+    val old = """{"created_ms":1786765797298,"valid_days":90,""" +
+      """"tolerance_pct":50.0,"queries":{"q1":1.011}}"""
+    assert(BenchCertificate.fromJson(old).floorSec === 0.0)
+  }
+
   test("missing certified queries and expiry both fail validation") {
     val cert = BenchCertificate.create(t0, base, validDays = 90)
     val missing = BenchCertificate.validate(cert, t0 + day, base - "q3")

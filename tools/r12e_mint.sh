@@ -1,9 +1,10 @@
 #!/bin/bash
-# Round-12e mint: registry grew 94 -> 96 (q95 BM25, q96 TF-IDF), so the
+# Round-12e mint: registry grew 94 -> 98 (q95 BM25, q96 TF-IDF, q97
+# token-budget, q98 PMI), so the
 # certificate re-mints (standing rule). Twin back-to-back idle 3-run
 # local benches on the frozen post-commit binary (target/r12ebin), mint
 # from the first.
-set -u
+set -eu
 cd /root/repo
 log() { echo "[r12e] $(date +%H:%M:%S) $*"; }
 ADDOPENS=""
