@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *   - Top-k is `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject
   *     (per-partition heaps + driver merge), never a global sort.
   *   - TF-IDF is the word-count shape: (doc, term) counts map-side
-  *     combined; the tf ⋈ df join shuffles on term, where AQE's skew-join
-  *     splits stopword-grade hot keys; the per-doc top-m window partitions
-  *     by document, so window state is bounded by one document's vocabulary.
+  *     combined; the tf ⋈ df join shuffles on term, with stopword-grade
+  *     hot keys routed around the exchange via a broadcast heavy-hitter
+  *     set (see [[tfidfTopTerms]] — AQE's skew split measurably does NOT
+  *     fire on this plan shape, `tools/SkewPhase`); the per-doc top-m
+  *     window partitions by document, so window state is bounded by one
+  *     document's vocabulary.
   *
   * Determinism across engines (the DuckDB oracle): tf/df/dl/N are exact
   * longs; each double expression is written as the identical operation
@@ -45,30 +48,67 @@ object Retrieval {
     * `query` terms are matched as whole whitespace tokens (the family
     * tokenizer). Documents matching no term score nothing and never leave
     * the map stage.
+    *
+    * Plan shape (re-cut in round 13 after the decade ladder): the
+    * original form paid the tokenize+explode corpus pass TWICE — df was
+    * derived from the posting stream, and Catalyst clones DAG-referenced
+    * subtrees into independent passes — plus a third tokenize for the
+    * corpus stats. Now the pre-filtered postings (shuffle and cache
+    * volume ∝ matching postings, never corpus tokens) PERSIST
+    * (MEMORY_AND_DISK, the `ivfCosineTopKTrained` cache precedent;
+    * harness clearCache hygiene bounds its life), so the ≤|query|-row df
+    * aggregate and the scoring join both read the cache: ONE
+    * explode pass over the corpus. The stats scan (N, Σdl — inherently
+    * needs every doc) stays explode-free (split + size only). Top-k is
+    * TakeOrderedAndProject. A first-cut alternative that computed
+    * per-term tf as interpreted higher-order-function columns measured
+    * 5× WORSE than the codegen'd explode at sf10full (22.6 s vs 4.4 s)
+    * and was dropped — HOF lambdas don't reach whole-stage codegen.
+    *
+    * Stopword-query caveat: the persisted postings are ∝ Σ df(term) —
+    * a query ON a stopword caches ~one row per matching doc and spills
+    * to disk past executor memory; selectivity is the operator's
+    * contract (it is a SEARCH, not a census).
     */
   def bm25TopK(docs: DataFrame, id: String, text: String, query: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     require(k > 0, "k must be positive")
-    val terms = query.distinct
+    bm25Impl(docs, id, text, query.distinct, k, k1, b, shared = true)
+  }
+
+  /** The pre-round-13 unshared form (df re-derives the corpus pass) —
+    * kept as the measurement/parity control. */
+  private[text] def bm25Unshared(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
+    bm25Impl(docs, id, text, terms, k, k1, b, shared = false)
+
+  private def bm25Impl(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int, k1: Double, b: Double,
+      shared: Boolean): DataFrame = {
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
 
-    val toked = docs.select(col(id), tokens(col(text)).as("__toks"))
-      .select(col(id), size(col("__toks")).cast("long").as("__dl"),
-        col("__toks"))
-
-    // ONE scalar row (N, Σdl) — broadcast back; avgdl = Σdl/N in double.
-    val stats = toked.agg(count(lit(1)).cast("long").as("__n"),
-      sum(col("__dl")).cast("long").as("__sumdl"))
+    // Corpus stats (N, Σdl) — explode-free scan; ONE scalar row,
+    // broadcast back; avgdl = Σdl/N in double.
+    val stats = docs
+      .select(size(tokens(col(text))).cast("long").as("__dl"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__dl")).cast("long").as("__sumdl"))
 
     // Postings restricted to the query terms BEFORE the exchange: the
     // groupBy shuffles only (doc, query-term) hits, map-side combined.
-    val tf = toked
-      .select(col(id), col("__dl"), explode(col("__toks")).as("__term"))
+    val tfPlain = docs
+      .select(col(id), tokens(col(text)).as("__toks"))
+      .select(col(id), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("__term"))
       .filter(col("__term").isin(terms: _*))
       .groupBy(col(id), col("__dl"), col("__term"))
       .agg(count(lit(1)).cast("long").as("__tf"))
+    val tf =
+      if (shared) tfPlain.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfPlain
 
     // ≤ |query| rows; broadcast into the per-posting scoring map.
     val dft = tf.groupBy(col("__term"))
@@ -120,9 +160,37 @@ object Retrieval {
   /** Top-m TF-IDF terms per document: tfidf = (tf/dl) · ln(N/df), ranked
     * within each document by 6-dp-rounded score desc, term asc. The
     * standard keyword-extraction / topic-triage primitive.
+    *
+    * Skew design (the tf ⋈ df join shuffles on term, and a stopword's
+    * postings are an N_docs-row hot key): round 13's same-phase
+    * measurement (`tools/SkewPhase`, 4M docs / 80M-term vocabulary)
+    * proved the previous scaladoc claim — "AQE's skew-join splits
+    * stopword-grade hot keys" — FALSE for this plan shape: the df side's
+    * final aggregate sits directly on the term exchange the join reuses,
+    * and `OptimizeSkewedJoin` only rewrites joins whose children are
+    * plain shuffle reads, so no split ever fired (skew_marked_joins=0,
+    * max/p50 task 9.6s/1.1s). The fix is structural, not AQE: heavy
+    * hitters are routed around the shuffle entirely.
+    *
+    *   - `hotTerms` (default 4096, the repo's bounded-close convention):
+    *     the top-H terms by df — by Zipf, the only terms whose postings
+    *     can skew a partition — are closed as a ≤H-row local list (one
+    *     bounded collect, the capped-route-probe precedent) and joined
+    *     to the posting stream as a BROADCAST: a stopword's rows never
+    *     enter a term-keyed exchange at all.
+    *   - The cold tail anti-joins the hot set map-side FIRST (hot rows
+    *     never shuffle), then term-joins df with a hard bound: every
+    *     surviving term has df < the H-th hottest term's df, so no cold
+    *     partition can exceed that bound by more than hash collision.
+    *   - `hotTerms = 0` disables routing (the plain join — SkewPhase's
+    *     A/B control). At oracle scale the whole vocabulary fits in the
+    *     hot set and the plan degenerates to the pure broadcast join.
+    *
+    * Output is identical under every route (df values are the same
+    * either path; RetrievalSpec pins parity).
     */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
-      m: Int): DataFrame = {
+      m: Int, hotTerms: Int = 4096): DataFrame = {
     require(m > 0, "m must be positive")
     import org.apache.spark.sql.expressions.Window
 
@@ -139,10 +207,39 @@ object Retrieval {
       .groupBy(col(id), col("__dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("__tf"))
 
-    // Vocabulary-sized; the join back shuffles on term (AQE splits
-    // stopword-grade skew; at oracle scale it broadcasts).
-    val dft = tf.groupBy(col("term"))
+    // Vocabulary-sized document frequencies. The aggregate itself is
+    // skew-immune (map-side combine caps any term at one row per map
+    // task); only the JOIN back to the posting stream skews.
+    val dftPlain = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("__df"))
+
+    val joined =
+      if (hotTerms <= 0) tf.join(dftPlain, "term")
+      else {
+        // The heavy-hitter close and the cold join must share ONE dft
+        // materialization: Catalyst clones DAG-referenced subtrees into
+        // independent corpus passes, and the first SkewPhase cut of this
+        // route paid a full extra token exchange (+3.9 GB shuffle,
+        // GC-heavy) re-deriving dft for the collect. persist() here is
+        // the `ivfCosineTopKTrained` cache precedent: vocabulary-sized,
+        // spills to disk if a real corpus's vocab outgrows memory, and
+        // harness hygiene (clearCache between queries) bounds its life.
+        val dft = dftPlain.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Bounded close of the heavy hitters (≤ hotTerms rows; ties at
+        // the boundary broken by term asc — deterministic, and harmless
+        // either way since df is identical on both routes).
+        val spark = docs.sparkSession
+        val hotRows = dft.orderBy(col("__df").desc, col("term").asc)
+          .limit(hotTerms).collect()
+        val hot = spark.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), dft.schema)
+        val tfHot = tf.join(broadcast(hot), "term")
+        val tfCold = tf
+          .join(broadcast(hot.select(col("term"))), Seq("term"), "left_anti")
+          .join(dft, "term")
+        tfHot.unionByName(tfCold)
+      }
 
     val tfidf = col("__tf").cast("double") / col("__dl").cast("double") *
       log(col("__n").cast("double") / col("__df").cast("double"))
@@ -150,7 +247,7 @@ object Retrieval {
     val w = Window.partitionBy(col(id))
       .orderBy(col("tfidf").desc, col("term").asc)
 
-    tf.join(dft, "term")
+    joined
       .crossJoin(broadcast(stats))
       .select(col(id), col("term"), round(tfidf, 6).as("tfidf"))
       .withColumn("rank", row_number().over(w))

@@ -30,13 +30,23 @@ import graft.text.Retrieval
   * `max(skewedPartitionThresholdInBytes, factor × median)` is therefore
   * scaled to (32 MB, 2.0×) from the defaults (256 MB, 5×), which at real
   * scale a tens-of-GB stopword partition vs a 64 MB median clears by
-  * orders of magnitude either way. Cells (interleaved, one session —
-  * the round-11 same-phase rule):
-  *   - skew_on   — AQE skew-join enabled with the scaled trigger
-  *   - skew_off  — AQE skew-join disabled (the straggler control)
+  * orders of magnitude either way.
+  *
+  * ROUND-13 FINDING (first measurement, cells skew_on/skew_off): even
+  * with the scaled trigger, `skew_marked_joins = 0` in every cell — the
+  * df side's final HashAggregate sits directly on the term exchange the
+  * join reuses, and `OptimizeSkewedJoin` only rewrites joins whose
+  * children are plain shuffle reads. AQE never splits this shape; the
+  * fix went structural (`Retrieval.tfidfTopTerms` heavy-hitter routing:
+  * hot terms broadcast around the exchange, cold tail df-bounded).
+  * Cells since then (interleaved, one session — the same-phase rule):
+  *   - routed — heavy-hitter routing at the default hotTerms
+  *   - plain  — hotTerms=0 (the old single term-join; skew-join conf
+  *              left ENABLED, which the finding shows never fires)
   * Each cell reports wall, GC, shuffle bytes, and the task-duration
   * tail (max / p50), plus how many join nodes in the FINAL adaptive
-  * plan carry the skew=true mark.
+  * plan carry the skew=true mark (expected 0 — kept as the tripwire
+  * that would detect AQE starting to handle the shape).
   *
   * Usage: `runMain graft.tools.SkewPhase [nDocs] [topM]`;
   * `SPARK_GRAFT_PHASE_RUNS` = interleaved rounds (default 2).
@@ -87,13 +97,15 @@ object SkewPhase {
     def dec(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
 
-    for (i <- 1 to rounds; cell <- Seq("skew_on", "skew_off")) {
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
-        (cell == "skew_on").toString)
+    for (i <- 1 to rounds; cell <- Seq("routed", "plain")) {
       drain(); census.reset(); tasks.reset()
-      val out = Retrieval.tfidfTopTerms(docs, "doc_id", "text", topM)
-      val qe = out.queryExecution
+      val hot = if (cell == "routed") 4096 else 0
+      // t0 BEFORE construction: the routed cell's bounded heavy-hitter
+      // close runs a job at DataFrame build time and must be charged to
+      // its own cell's wall.
       val t0 = System.nanoTime()
+      val out = Retrieval.tfidfTopTerms(docs, "doc_id", "text", topM, hot)
+      val qe = out.queryExecution
       // Materialize through the query's OWN execution (not a write's) so
       // the final adaptive plan — with any skew=true join marks — is
       // inspectable on `qe` afterwards.

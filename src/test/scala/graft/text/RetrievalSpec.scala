@@ -67,6 +67,23 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got === all.take(2))
   }
 
+  test("bm25 shared-postings plan ≡ unshared control (values + order)") {
+    // The default persists the pre-filtered postings so df and scoring
+    // share one corpus pass; the unshared control re-derives the pass.
+    // Both must be row-identical and match the model.
+    val df = corpus.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      d(df).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (q <- Seq(Seq("apple"), Seq("apple", "cherry"),
+        Seq("apple", "cherry", "banana", "durian", "elderberry"))) {
+      val shared = run(Retrieval.bm25TopK(_, "doc_id", "text", q, 10))
+      val control = run(Retrieval.bm25Unshared(_, "doc_id", "text", q, 10, 1.2, 0.75))
+      assert(shared === control, s"shared/unshared divergence for query $q")
+      assert(shared === bm25Model(q), s"model divergence for query $q")
+    }
+    spark.catalog.clearCache()
+  }
+
   /** Driver-side TF-IDF top-m. */
   private def tfidfModel(m: Int): Seq[(Long, String, Long, Double)] = {
     val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
@@ -93,6 +110,23 @@ class RetrievalSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     assert(got === tfidfModel(2))
+  }
+
+  test("tfidf route parity: heavy-hitter routing ≡ plain term join") {
+    // hotTerms routes: 0 = plain single join; 1 = only the hottest term
+    // broadcasts (forces a real hot/cold union); default 4096 swallows
+    // the whole spec vocabulary (pure broadcast side). All three must be
+    // row-identical.
+    val df = corpus.toDF("doc_id", "text")
+    def run(hot: Int) =
+      Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2, hotTerms = hot)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val plain = run(0)
+    assert(run(1) === plain)
+    assert(run(4096) === plain)
+    assert(plain === tfidfModel(2).toSet)
   }
 
   test("tfidf: a term in every doc scores exactly zero (ln N/N)") {
