@@ -40,14 +40,17 @@ object Bench {
     var spark = GraftSession.localFromEnv()
     val census = new TaskMetricsCensus
     spark.sparkContext.addSparkListener(census)
-    // warmup: JVM + parquet reader + codegen paths. Subset ladder dirs
-    // (SPARK_GRAFT_BENCH_ONLY generations) may carry only the tables the
-    // subset reads — warm on the first table present.
-    val warmTable = Seq("lineitem", "documents", "events", "embeddings")
-      .find(t => java.nio.file.Files.exists(
+    // warmup: JVM + parquet reader + codegen paths. EVERY fact table
+    // present warms (count() pages it through the reader): round 13's
+    // subset-ladder sessions proved warming only the first table leaves
+    // the first query of every other family paying the cold read — a
+    // 2-run median there is mean(cold, warm), which mis-read q95's sf100
+    // decade point as 112 s (warm 3-run: 29.1 s).
+    val warmTables = Seq("lineitem", "documents", "events", "embeddings")
+      .filter(t => java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$sfDir/$t.parquet")))
     def warm(): Unit =
-      warmTable.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      warmTables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     warm()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val metricsOut =

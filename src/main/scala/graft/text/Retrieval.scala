@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   *   - Top-k is `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject
   *     (per-partition heaps + driver merge), never a global sort.
   *   - TF-IDF is the word-count shape: (doc, term) counts map-side
-  *     combined; the tf ⋈ df join shuffles on term, with stopword-grade
-  *     hot keys routed around the exchange via a broadcast heavy-hitter
-  *     set (see [[tfidfTopTerms]] — AQE's skew split measurably does NOT
-  *     fire on this plan shape, `tools/SkewPhase`); the per-doc top-m
-  *     window partitions by document, so window state is bounded by one
-  *     document's vocabulary.
+  *     combined; the tf ⋈ df join shuffles on term, where stopword-grade
+  *     hot keys are a measured hazard AQE does NOT repair (see
+  *     [[tfidfTopTerms]] and `tools/SkewPhase`) — the `hotTerms` knob
+  *     routes them around the exchange via a broadcast heavy-hitter set;
+  *     the per-doc top-m window partitions by document, so window state
+  *     is bounded by one document's vocabulary.
   *
   * Determinism across engines (the DuckDB oracle): tf/df/dl/N are exact
   * longs; each double expression is written as the identical operation
@@ -49,39 +49,40 @@ object Retrieval {
     * tokenizer). Documents matching no term score nothing and never leave
     * the map stage.
     *
-    * Plan shape (re-cut in round 13 after the decade ladder): the
-    * original form paid the tokenize+explode corpus pass TWICE — df was
-    * derived from the posting stream, and Catalyst clones DAG-referenced
-    * subtrees into independent passes — plus a third tokenize for the
-    * corpus stats. Now the pre-filtered postings (shuffle and cache
-    * volume ∝ matching postings, never corpus tokens) PERSIST
-    * (MEMORY_AND_DISK, the `ivfCosineTopKTrained` cache precedent;
-    * harness clearCache hygiene bounds its life), so the ≤|query|-row df
-    * aggregate and the scoring join both read the cache: ONE
-    * explode pass over the corpus. The stats scan (N, Σdl — inherently
-    * needs every doc) stays explode-free (split + size only). Top-k is
-    * TakeOrderedAndProject. A first-cut alternative that computed
-    * per-term tf as interpreted higher-order-function columns measured
-    * 5× WORSE than the codegen'd explode at sf10full (22.6 s vs 4.4 s)
-    * and was dropped — HOF lambdas don't reach whole-stage codegen.
-    *
-    * Stopword-query caveat: the persisted postings are ∝ Σ df(term) —
-    * a query ON a stopword caches ~one row per matching doc and spills
-    * to disk past executor memory; selectivity is the operator's
-    * contract (it is a SEARCH, not a census).
+    * Plan shape — an honest round-13 engineering record. The decade
+    * ladder initially read q95 at 112 s for sf100 (25× for 10× data) and
+    * two optimization cuts were built and MEASURED against it:
+    *   - per-term tf as higher-order-function columns (no explode, one
+    *     1-row stats+df aggregate): 5× WORSE at sf10full (22.6 s vs
+    *     4.4 s) — HOF lambdas don't reach whole-stage codegen. Dropped.
+    *   - persisting the pre-filtered postings so the df aggregate and
+    *     the scoring join share one corpus pass (Catalyst clones
+    *     DAG-referenced subtrees into independent passes): SLOWER at
+    *     sf0.1 (2.5 s vs 0.6) and sf10full (5.6 s vs 4.4) — cache
+    *     mechanics cost more than the cheap re-pass they save — and a
+    *     wash at sf100 (29.1 s warm). Kept as [[bm25Shared]], off by
+    *     default, with a parity spec.
+    * The alarm itself was a MEASUREMENT artifact: 2-run subset sessions
+    * report median = mean(cold, warm), and the first documents-family
+    * query paid the cold read + codegen of the whole text pipeline
+    * (Bench's warmup now touches every table). Warm 3-run medians put
+    * the original plan's decade exponent back under 1. The r12 shape —
+    * postings filtered to the query terms BEFORE the exchange, df a
+    * ≤|query|-row broadcast, TakeOrderedAndProject top-k — stands.
     */
   def bm25TopK(docs: DataFrame, id: String, text: String, query: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     require(k > 0, "k must be positive")
-    bm25Impl(docs, id, text, query.distinct, k, k1, b, shared = true)
+    bm25Impl(docs, id, text, query.distinct, k, k1, b, shared = false)
   }
 
-  /** The pre-round-13 unshared form (df re-derives the corpus pass) —
-    * kept as the measurement/parity control. */
-  private[text] def bm25Unshared(docs: DataFrame, id: String, text: String,
+  /** The rejected shared-postings cut (persist so df + scoring share one
+    * corpus pass) — kept as the measurement/parity control; see
+    * [[bm25TopK]] for the numbers. */
+  private[text] def bm25Shared(docs: DataFrame, id: String, text: String,
       terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
-    bm25Impl(docs, id, text, terms, k, k1, b, shared = false)
+    bm25Impl(docs, id, text, terms, k, k1, b, shared = true)
 
   private def bm25Impl(docs: DataFrame, id: String, text: String,
       terms: Seq[String], k: Int, k1: Double, b: Double,
@@ -162,35 +163,41 @@ object Retrieval {
     * standard keyword-extraction / topic-triage primitive.
     *
     * Skew design (the tf ⋈ df join shuffles on term, and a stopword's
-    * postings are an N_docs-row hot key): round 13's same-phase
-    * measurement (`tools/SkewPhase`, 4M docs / 80M-term vocabulary)
-    * proved the previous scaladoc claim — "AQE's skew-join splits
-    * stopword-grade hot keys" — FALSE for this plan shape: the df side's
-    * final aggregate sits directly on the term exchange the join reuses,
-    * and `OptimizeSkewedJoin` only rewrites joins whose children are
-    * plain shuffle reads, so no split ever fired (skew_marked_joins=0,
-    * max/p50 task 9.6s/1.1s). The fix is structural, not AQE: heavy
-    * hitters are routed around the shuffle entirely.
+    * postings are an N_docs-row hot key) — round 13 MEASURED both sides
+    * of this (`tools/SkewPhase`, 4M docs / 80M-term vocabulary, 5
+    * corpus-wide stopwords):
     *
-    *   - `hotTerms` (default 4096, the repo's bounded-close convention):
-    *     the top-H terms by df — by Zipf, the only terms whose postings
-    *     can skew a partition — are closed as a ≤H-row local list (one
-    *     bounded collect, the capped-route-probe precedent) and joined
-    *     to the posting stream as a BROADCAST: a stopword's rows never
-    *     enter a term-keyed exchange at all.
-    *   - The cold tail anti-joins the hot set map-side FIRST (hot rows
-    *     never shuffle), then term-joins df with a hard bound: every
-    *     surviving term has df < the H-th hottest term's df, so no cold
-    *     partition can exceed that bound by more than hash collision.
-    *   - `hotTerms = 0` disables routing (the plain join — SkewPhase's
-    *     A/B control). At oracle scale the whole vocabulary fits in the
-    *     hot set and the plan degenerates to the pure broadcast join.
+    *   - The round-12 scaladoc claim — "AQE's skew-join splits
+    *     stopword-grade hot keys" — is FALSE for this plan shape: the df
+    *     side's final aggregate sits directly on the term exchange the
+    *     join reuses, and `OptimizeSkewedJoin` only rewrites joins whose
+    *     children are plain shuffle reads, so no split ever fires
+    *     (skew_marked_joins=0 in every cell, scaled trigger included).
+    *     The plain join's hot task is real: max/p50 task 36s/1.1s on the
+    *     synthetic — bounded locally, unbounded at cluster scale (a
+    *     stopword partition grows with corpus doc count).
+    *   - `hotTerms > 0` routes around it structurally: the top-H terms
+    *     by df close as a ≤H-row local list (bounded collect, the
+    *     capped-route-probe precedent) and BROADCAST-join the posting
+    *     stream — hot rows never enter a term-keyed exchange; the cold
+    *     tail anti-joins the hot set map-side first, so every cold
+    *     partition is bounded by the H-th hottest df. Output is
+    *     identical either way (RetrievalSpec pins parity).
+    *   - Routing is NOT free: the same-phase cells put its overhead at
+    *     ~1.3–2× wall (an extra read of the posting exchange for the
+    *     anti branch, the df materialization for the close, union
+    *     plumbing) while local[32] hides the straggler it removes
+    *     (32 cores amortize one 36 s task; 1000 executors cannot).
     *
-    * Output is identical under every route (df values are the same
-    * either path; RetrievalSpec pins parity).
+    * Default is therefore the PLAIN join (`hotTerms = 0`) — fastest on
+    * every corpus measured, and correct until one term's postings
+    * approach a single executor's working set. Set `hotTerms` (4096 is
+    * the bounded-close convention) for stopword-dense corpora at the
+    * scale where max-df × ~40 B outgrows a task: the documented knob is
+    * the contract, exactly like `Dedup`'s `maxDf`.
     */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
-      m: Int, hotTerms: Int = 4096): DataFrame = {
+      m: Int, hotTerms: Int = 0): DataFrame = {
     require(m > 0, "m must be positive")
     import org.apache.spark.sql.expressions.Window
 

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 import graft.{GraftSession, TaskMetricsCensus}
 import graft.text.Retrieval
@@ -54,13 +54,28 @@ import graft.text.Retrieval
 object SkewPhase {
 
   private class TaskDurations extends SparkListener {
-    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    private val durs =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    private val names =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      if (t.taskInfo != null) durs.add(t.taskInfo.duration)
+      if (t.taskInfo != null) durs.add((t.stageId, t.taskInfo.duration))
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      names.put(s.stageInfo.stageId,
+        s.stageInfo.name.takeWhile(_ != '\n').take(60))
+    def nameOf(sid: Int): String = Option(names.get(sid)).getOrElse("?")
     def reset(): Unit = durs.clear()
     def snapshot(): Seq[Long] = {
       import scala.jdk.CollectionConverters._
-      durs.asScala.map(_.longValue).toSeq.sorted
+      durs.asScala.map(_._2).toSeq.sorted
+    }
+    /** Worst stages by max task duration: (stageId, maxTaskSec, nTasks) —
+      * names the straggler STAGE, not just the straggler task. */
+    def worstStages(n: Int): Seq[(Int, Double, Int)] = {
+      import scala.jdk.CollectionConverters._
+      durs.asScala.toSeq.groupBy(_._1).map { case (sid, xs) =>
+        (sid, xs.map(_._2).max / 1e3, xs.size)
+      }.toSeq.sortBy(-_._2).take(n)
     }
   }
 
@@ -118,6 +133,10 @@ object SkewPhase {
       val durs = tasks.snapshot()
       val maxTask = durs.lastOption.getOrElse(0L) / 1e3
       val p50Task = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3
+      val worst = tasks.worstStages(3).map { case (sid, mx, nt) =>
+        s"""{"stage":"${tasks.nameOf(sid)}","max_task_s":${dec(mx, 1)},""" +
+          s""""n_tasks":$nt}"""
+      }.mkString("[", ",", "]")
       println(s"""{"tool":"skew_phase","n_docs":$nDocs,"round":$i,""" +
         s""""cell":"$cell","sec":${dec(dt, 1)},"rows":$n,""" +
         s""""skew_marked_joins":$skewJoins,""" +
@@ -127,7 +146,8 @@ object SkewPhase {
         s""""shuffle_write_gb":${dec(census.shufWrite.get / 1e9, 3)},""" +
         s""""shuffle_read_gb":${dec(census.shufRead.get / 1e9, 3)},""" +
         s""""disk_spill_gb":${dec(census.diskSpill.get / 1e9, 3)},""" +
-        s""""peak_task_mem_mb":${dec(census.peakTaskMem.get / 1e6, 0)}}""")
+        s""""peak_task_mem_mb":${dec(census.peakTaskMem.get / 1e6, 0)},""" +
+        s""""worst_stages":$worst}""")
       if (i == 1 && sys.env.contains("SPARK_GRAFT_SKEW_PLAN_OUT"))
         java.nio.file.Files.writeString(
           Paths.get(sys.env("SPARK_GRAFT_SKEW_PLAN_OUT") + s".$cell.txt"), plan)

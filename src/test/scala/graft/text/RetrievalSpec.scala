@@ -67,19 +67,19 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got === all.take(2))
   }
 
-  test("bm25 shared-postings plan ≡ unshared control (values + order)") {
-    // The default persists the pre-filtered postings so df and scoring
-    // share one corpus pass; the unshared control re-derives the pass.
-    // Both must be row-identical and match the model.
+  test("bm25 default plan ≡ shared-postings control (values + order)") {
+    // The default re-derives the posting pass for df (measured fastest);
+    // the shared control persists the postings so df and scoring share
+    // one pass. Both must be row-identical and match the model.
     val df = corpus.toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
       d(df).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     for (q <- Seq(Seq("apple"), Seq("apple", "cherry"),
         Seq("apple", "cherry", "banana", "durian", "elderberry"))) {
-      val shared = run(Retrieval.bm25TopK(_, "doc_id", "text", q, 10))
-      val control = run(Retrieval.bm25Unshared(_, "doc_id", "text", q, 10, 1.2, 0.75))
-      assert(shared === control, s"shared/unshared divergence for query $q")
-      assert(shared === bm25Model(q), s"model divergence for query $q")
+      val main = run(Retrieval.bm25TopK(_, "doc_id", "text", q, 10))
+      val control = run(Retrieval.bm25Shared(_, "doc_id", "text", q, 10, 1.2, 0.75))
+      assert(main === control, s"default/shared divergence for query $q")
+      assert(main === bm25Model(q), s"model divergence for query $q")
     }
     spark.catalog.clearCache()
   }
