@@ -280,4 +280,97 @@ object Retrieval {
               ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
       SELECT doc_id, term, rank::BIGINT AS rank, tfidf
       FROM r WHERE rank <= $m ORDER BY doc_id, rank"""
+
+  // ---- Persisted inverted index (the amortized-search contract) ----
+
+  /** Materialized inverted index for repeated BM25 search — the design
+    * every real retrieval engine uses and the piece the round-13 q95
+    * ladder showed the per-query form missing: `bm25TopK` re-tokenizes
+    * the corpus on EVERY query (inherent — BM25 needs tf, dl, N), so at
+    * 100 TB each search costs a full corpus pass. Indexing pays that
+    * pass ONCE and makes per-query cost proportional to the MATCHING
+    * postings:
+    *
+    *   - `postings` — (term, doc, dl, tf), REPARTITIONED BY RANGE on
+    *     term and sorted within partitions before the parquet write, so
+    *     every row group carries a tight term min/max and a query's
+    *     `term IN (...)` predicate PUSHES DOWN to row-group skipping
+    *     (`PushedFilters` in the scan): a search touches the files for
+    *     its terms, never the corpus.
+    *   - `stats` — the ONE (N, Σdl) row.
+    *
+    * Builds ride [[graft.catalog.Catalog.cachedDerived]] (the
+    * refresh-if-stale fingerprint contract): same source + version →
+    * the build is skipped and the index is read back; any config change
+    * rebuilds. Per-term document frequencies are NOT pre-materialized:
+    * df is a ≤|query|-row aggregate over the already-filtered postings
+    * slice, so the index never goes stale against its own postings.
+    */
+  /** @param sourceTag the CALLER's name for the corpus identity (e.g.
+    *        the source directory path): the fingerprint rebuilds the
+    *        index when tag/columns/version change and reuses it
+    *        otherwise — content identity is the caller's contract, the
+    *        `cachedDerived` convention. */
+  def buildPostingsIndex(docs: DataFrame, id: String, text: String,
+      indexPath: String, sourceTag: String): Unit = {
+    val spark = docs.sparkSession
+    val config = Map("source" -> sourceTag,
+      "id" -> id, "text" -> text, "version" -> "1")
+    graft.catalog.Catalog.cachedDerived(spark, s"$indexPath/postings", config) {
+      docs.select(col(id).as("doc"), tokens(col(text)).as("__toks"))
+        .select(col("doc"), size(col("__toks")).cast("long").as("dl"),
+          explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc"), col("dl"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+    }
+    graft.catalog.Catalog.cachedDerived(spark, s"$indexPath/stats", config) {
+      docs.select(size(tokens(col(text))).cast("long").as("dl"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("dl")).cast("long").as("sumdl"))
+    }
+    ()
+  }
+
+  /** BM25 top-k served FROM a [[buildPostingsIndex]] index: reads only
+    * the postings matching the query terms (parquet row-group pushdown —
+    * the scan's `PushedFilters` carries the IN list), df closes as a
+    * ≤|query|-row broadcast over that slice, top-k is
+    * TakeOrderedAndProject. Identical output to [[bm25TopK]] on the
+    * indexed corpus (RetrievalSpec pins parity); per-query cost is
+    * ∝ matching postings, never corpus size.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k > 0, "k must be positive")
+    val terms = query.distinct
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+
+    val tf = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term").isin(terms: _*))
+    val stats = broadcast(spark.read.parquet(s"$indexPath/stats"))
+    val dft = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n") - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val termScore = idf * (col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(oneMinusB) + lit(b) * col("dl").cast("double") / avgdl))
+
+    tf.join(broadcast(dft), "term")
+      .crossJoin(stats)
+      .select(col("doc"), termScore.as("__ts"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("__ts")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+  }
 }

@@ -84,6 +84,29 @@ class RetrievalSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("indexed bm25 ≡ per-query bm25 on the same corpus; cache reused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val df = corpus.toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec")
+    for (q <- Seq(Seq("apple"), Seq("apple", "cherry", "banana"))) {
+      val direct = Retrieval.bm25TopK(df, "doc_id", "text", q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val indexed = Retrieval.bm25FromIndex(spark, dir, q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(indexed === direct, s"index divergence for query $q")
+    }
+    // same tag → rebuild skipped: postings fingerprint file is untouched
+    val fp = new java.io.File(s"$dir/postings/_fingerprint")
+    val before = fp.lastModified()
+    Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec")
+    assert(fp.lastModified() === before)
+    // changed tag → rebuild
+    Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec2")
+    assert(fp.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(fp.toPath)) !==
+      "")
+  }
+
   /** Driver-side TF-IDF top-m. */
   private def tfidfModel(m: Int): Seq[(Long, String, Long, Double)] = {
     val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }

@@ -1,8 +1,10 @@
 #!/bin/bash
-# Round-13 mint: registry is 98 queries (q95–q98 landed at the end of
-# round 12 WITHOUT a re-mint, leaving the gate blind — the round-12
-# verdict's #1 item). Standing rule: any registry growth re-mints the
-# certificate from quiet local bench medians.
+# Round-13 mint: ran twice this round (standing rule: any registry
+# growth re-mints the certificate from quiet local bench medians).
+# Cycle 1 (tags a/b/c): registry 98 — q95–q98 had landed at the end of
+# round 12 WITHOUT a re-mint, leaving the gate blind (round-12 verdict
+# #1). Cycle 2 (tags d/e/f): registry 99 — q99_bm25_indexed (the
+# persisted-postings search) registered late in round 13.
 #
 # This round's host phase carried rotating per-query weather (totals
 # 86/78/69 s across three back-to-back idle benches, median per-query
@@ -30,7 +32,7 @@ for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/sun.security.action java.base/sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
-CP="target/r13bin:/opt/spark/jars/*"
+CP="target/r13bin7:/opt/spark/jars/*"
 JAVA="java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx16g -Xms16g"
 export SPARK_GRAFT_CPUS=32
 
@@ -40,13 +42,13 @@ import json, sys
 with open(sys.argv[1]) as f:
     d = json.loads(f.read())
 n = len(d["queries"])
-assert n >= 98, f"expected >=98 queries, got {n}"
+assert n >= 99, f"expected >=99 queries, got {n}"
 assert not d.get("errors"), f"bench errors: {d.get('errors')}"
 print(f"[r13] {sys.argv[1]}: {n} queries, total {d['value']}s — OK")
 EOF
 }
 
-for tag in a b c; do
+for tag in d e f; do
   log "idle 3-run local bench ($tag)"
   uptime
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=3 \
@@ -55,17 +57,17 @@ for tag in a b c; do
   check_json bench_local_r13$tag.json
 done
 
-log "combine: per-query median across a/b/c -> bench_local_r13.json"
+log "combine: per-query median across d/e/f -> bench_local_r13.json"
 python3 - <<'EOF'
 import json
-files = ['bench_local_r13a.json','bench_local_r13b.json','bench_local_r13c.json']
+files = ['bench_local_r13d.json','bench_local_r13e.json','bench_local_r13f.json']
 qs = [json.loads(open(f).read())["queries"] for f in files]
 keys = sorted(qs[0])
 med = {k: sorted(q[k] for q in qs)[1] for k in keys}
 total = round(sum(med.values()), 3)
 out = {"metric":"total","value":total,"unit":"sec",
        "queries":{k: med[k] for k in keys},
-       "source":"per-query median of bench_local_r13{a,b,c}.json (three idle 3-run benches, 9 runs/query)",
+       "source":"per-query median of bench_local_r13{d,e,f}.json (three idle 3-run benches, 9 runs/query, 99-query registry)",
        "sf":"/root/testdata/sf0.1"}
 open('bench_local_r13.json','w').write(json.dumps(out, separators=(',',':'))+"\n")
 print(f"[r13] combined total: {total}s")
