@@ -851,9 +851,30 @@ object TextQueries extends QueryPack {
           query = Seq("spark", "window", "join"), k = 25)
           .orderBy(col("score").desc, col("doc"))
       },
-      Some(Retrieval.bm25OracleSql("'spark','window','join'", k = 25)
-        .replace("SELECT doc_id, count(*)::BIGINT AS n_terms",
-          "SELECT doc_id AS doc, count(*)::BIGINT AS n_terms")),
-      "BM25 served from a persisted term-clustered postings index")
+      Some(Retrieval.bm25OracleSql("'spark','window','join'", k = 25,
+        idCol = "doc")),
+      "BM25 served from a persisted term-clustered postings index"),
+
+    // Indexed TF-IDF: the q99 move applied to the second retrieval
+    // operator (round-13 verdict #2). Shares q99's index artifact —
+    // identical buildPostingsIndex config, so whichever of q99/q100 runs
+    // first pays the one-time build and the other hits the fingerprint
+    // cache. The query starts from the pre-aggregated (term, doc, dl,
+    // tf) postings: no tokenize, no explode, no (doc, term) exchange —
+    // df is one aggregate (hot terms auto-routed, same census as q96)
+    // and the per-doc top-m window is the only other exchange. Same
+    // output as q96 modulo the index's canonical id column name.
+    "q100_tfidf_indexed" -> QueryDef(
+      (s, dir) => {
+        val tag = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+        val idx = "target/q99_index/" +
+          tag.replaceAll("[^A-Za-z0-9._-]", "_")
+        Retrieval.buildPostingsIndex(balanced(Tables.documents(s, dir)),
+          "doc_id", "text", idx, sourceTag = tag)
+        Retrieval.tfidfFromIndex(s, idx, m = 3)
+          .orderBy(col("doc"), col("rank"))
+      },
+      Some(Retrieval.tfidfOracleSql(m = 3, idCol = "doc")),
+      "TF-IDF top-m served from the persisted postings index")
   )
 }

@@ -981,11 +981,24 @@ object Similarity {
     *
     * Scale shape: everything beyond the ANN pass is one hash
     * `groupBy(id, label)` (map-side combined) and a window bounded at
-    * ≤ k rows per vector — no new shuffle class, no driver state. */
+    * ≤ k rows per vector — no new shuffle class, no driver state.
+    *
+    * `pq = true` swaps the neighbor source to [[ivfPqTopK]] — the
+    * compressed-scan route the round-13 q94 decade ladder documented as
+    * the 100 TB shape (the exact-scoring IVF's candidates/query grow as
+    * probes·√N by design; the PQ scan pays 16 integer table lookups per
+    * member instead of 64 float multiplies, with the exact-cosine refine
+    * only on the per-cell shortlist). Labels are a MAJORITY vote over k
+    * neighbors, so the audit verdict tolerates shortlist misses far
+    * better than a top-k list does — the route-agreement evidence lives
+    * in `tools/KnnRoutePhase` and SimilarityAnnSpec. */
   def knnLabels(df: DataFrame, id: String, vec: String, label: String,
-                k: Int = 5, cells: Int = 0, probes: Int = 4): DataFrame = {
+                k: Int = 5, cells: Int = 0, probes: Int = 4,
+                pq: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nn = ivfCosineTopK(df, id, vec, k, cells, probes)
+    val nn =
+      if (pq) ivfPqTopK(df, id, vec, k, cells, probes)
+      else ivfCosineTopK(df, id, vec, k, cells, probes)
     val votes = nn
       .join(df.select(col(id).as("id_b"), col(label).as("nbr_label")),
         Seq("id_b"))

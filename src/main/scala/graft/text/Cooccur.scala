@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,10 +37,21 @@ object Cooccur {
     *        default (65536 → ≤ ~2·10^9 pairs from one doc, spread across
     *        that doc's task) is far above any curated document; it exists
     *        so an un-curated outlier degrades output, not the job.
+    * @param guard OBSERVABILITY for that cap (round-13 advice: no silent
+    *        caps): pass an [[Observation]] and, after the query's action,
+    *        `guard.get` carries `dropped_docs` (exact count of documents
+    *        the cap excluded from the pair stage) and `max_doc_vocab`
+    *        (the corpus's largest distinct-token count — how close the
+    *        corpus sails to the cap). `None` (the default) attaches
+    *        nothing and leaves the measured q98 plan byte-identical; the
+    *        guarded plan differs only in the window's sort key (ordered
+    *        by term so an exact per-doc first-row marker exists) and a
+    *        CollectMetrics node on one self-join branch.
     * @return (term_a, term_b, pair_df, df_a, df_b, pmi) with
     *         term_a < term_b, pair_df >= minPairDf, ordered by pair */
   def pmiPairs(docs: DataFrame, id: String, text: String,
-      minPairDf: Long = 2L, maxDocVocab: Int = 1 << 16): DataFrame = {
+      minPairDf: Long = 2L, maxDocVocab: Int = 1 << 16,
+      guard: Option[Observation] = None): DataFrame = {
     val toks = docs
       .select(col(id).as("__doc"),
         explode(array_distinct(split(col(text), " "))).as("term"))
@@ -50,16 +61,42 @@ object Cooccur {
     val dfT = toks.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
 
-    // Vocab guard: an unordered count window partitioned by doc reuses the
+    // Vocab guard: a count window partitioned by doc reuses the
     // hash-partitioning the self-join shuffles on anyway, so enforcing the
-    // bound costs no extra exchange.
-    val bounded = toks
-      .withColumn("__v", count(lit(1)).over(Window.partitionBy(col("__doc"))))
-      .filter(col("__v") <= maxDocVocab)
-      .drop("__v")
+    // bound costs no extra exchange. The two branches below are
+    // value-identical; the guarded one also carries the drop metrics.
+    val (a, b) = guard match {
+      case None =>
+        val bounded = toks
+          .withColumn("__v",
+            count(lit(1)).over(Window.partitionBy(col("__doc"))))
+          .filter(col("__v") <= maxDocVocab)
+          .drop("__v")
+        (bounded.select(col("__doc"), col("term").as("term_a")),
+          bounded.select(col("__doc"), col("term").as("term_b")))
+      case Some(obs) =>
+        // Ordered window: same partitioning, and row_number gives an
+        // exact one-row-per-doc marker so dropped DOCS (not dropped
+        // token rows) can be summed. count over the full frame equals
+        // the unordered count. The observe node sits on exactly ONE
+        // self-join branch (an Observation is single-use, and rows must
+        // flow through it pre-filter, once).
+        val w = Window.partitionBy(col("__doc")).orderBy(col("term"))
+        val flagged = toks
+          .withColumn("__v", count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("__rn", row_number().over(w))
+        val observed = flagged.observe(obs,
+          sum(when(col("__v") > maxDocVocab && col("__rn") === 1, 1L)
+            .otherwise(0L)).as("dropped_docs"),
+          max(col("__v")).as("max_doc_vocab"))
+        def bound(d: DataFrame) = d.filter(col("__v") <= maxDocVocab)
+          .drop("__v", "__rn")
+        (bound(observed).select(col("__doc"), col("term").as("term_a")),
+          bound(flagged).select(col("__doc"), col("term").as("term_b")))
+    }
 
-    val a = bounded.select(col("__doc"), col("term").as("term_a"))
-    val b = bounded.select(col("__doc"), col("term").as("term_b"))
     val pairDf = a.join(b, "__doc")
       .filter(col("term_a") < col("term_b"))
       .groupBy(col("term_a"), col("term_b"))

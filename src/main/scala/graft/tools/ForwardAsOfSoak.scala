@@ -54,6 +54,23 @@ object ForwardAsOfSoak {
     // every batch boundary, and the final minute's tail stays pending
     // forever (the batch null-payload set).
     val batchSecs = new Array[Double](minutes)
+    // Per-batch attribution (round-13 verdict: the r12 artifact's 32.7 s
+    // batch_max vs 0.84 s batch_min carried no cause). Each batch records
+    // its driver-JVM GC delta and the host 1-min loadavg at batch end, so
+    // a spike separates into (a) GC pause, (b) co-tenant host load, or
+    // (c) neither → state-store/stream-internal, directly from the
+    // artifact.
+    val batchGcS = new Array[Double](minutes)
+    val batchLoad = new Array[Double](minutes)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def loadavg(): Double = scala.util.Try(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(' ')(0).toDouble).getOrElse(-1.0)
     val total = System.nanoTime()
     var m = 0
     while (m < minutes) {
@@ -67,10 +84,13 @@ object ForwardAsOfSoak {
         (0 until nKeys).map(k => (s"sym_$k", ts, (m * 60 + s) * 0.001 + k))
       }
       val b0 = System.nanoTime()
+      val g0 = gcMs()
       ticks.addData(tickRows)
       signals.addData(sigRows)
       q.processAllAvailable()
       batchSecs(m) = (System.nanoTime() - b0) / 1e9
+      batchGcS(m) = (gcMs() - g0) / 1e3
+      batchLoad(m) = loadavg()
       m += 1
     }
     val totalSec = (System.nanoTime() - total) / 1e9
@@ -111,9 +131,20 @@ object ForwardAsOfSoak {
 
     val ok = diff == 0 && nStreamed + nBatchPending == nTicks
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val sortedSecs = batchSecs.sorted
+    val p50 = sortedSecs(minutes / 2)
+    val p95 = sortedSecs(math.min(minutes - 1, (minutes * 95) / 100))
+    // Name the slowest batches WITH their attribution columns.
+    val slow = batchSecs.zipWithIndex.sortBy(-_._1).take(5).map {
+      case (sec, i) =>
+        s"""{"batch":$i,"sec":${f(sec)},"gc_s":${f(batchGcS(i))},""" +
+          s""""loadavg":${f(batchLoad(i))}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"soak":"forward_asof_rocksdb","keys":$nKeys,"minutes":$minutes,""" +
       s""""ticks":$nTicks,"sec":${f(totalSec)},"ticks_per_sec":${f(nTicks / totalSec)},""" +
       s""""batch_min_sec":${f(batchSecs.min)},"batch_max_sec":${f(batchSecs.max)},""" +
+      s""""batch_p50_sec":${f(p50)},"batch_p95_sec":${f(p95)},""" +
+      s""""slowest_batches":$slow,""" +
       s""""emitted":$nStreamed,"pending":${nTicks - nStreamed},""" +
       s""""parity_diff":$diff,"invariants_ok":$ok}""")
     require(ok, s"forward as-of soak violated: diff=$diff " +

@@ -112,9 +112,18 @@ object SkewPhase {
     def dec(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
 
-    for (i <- 1 to rounds; cell <- Seq("routed", "plain")) {
+    // Cells: "auto" exercises the round-14 default (-1 = census-routed;
+    // at 4M docs a stopword's est df × 40 B ≈ 160 MB > the 128 MB task
+    // threshold, so the census must pick the hot route — the artifact's
+    // route_hot field is read from the actual plan, not the intent);
+    // "routed"/"plain" stay as the forced A/B cells.
+    for (i <- 1 to rounds; cell <- Seq("auto", "routed", "plain")) {
       drain(); census.reset(); tasks.reset()
-      val hot = if (cell == "routed") 4096 else 0
+      val hot = cell match {
+        case "auto" => -1
+        case "routed" => 4096
+        case _ => 0
+      }
       // t0 BEFORE construction: the routed cell's bounded heavy-hitter
       // close runs a job at DataFrame build time and must be charged to
       // its own cell's wall.
@@ -130,6 +139,10 @@ object SkewPhase {
       val plan = qe.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val skewJoins = "skew=true".r.findAllIn(plan).length
+      // The hot route's signature in the physical plan: the hot/cold
+      // Union (the plain join has none). This is how the "auto" cell
+      // PROVES which route the census picked.
+      val routeHot = plan.contains("Union")
       val durs = tasks.snapshot()
       val maxTask = durs.lastOption.getOrElse(0L) / 1e3
       val p50Task = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3
@@ -139,7 +152,7 @@ object SkewPhase {
       }.mkString("[", ",", "]")
       println(s"""{"tool":"skew_phase","n_docs":$nDocs,"round":$i,""" +
         s""""cell":"$cell","sec":${dec(dt, 1)},"rows":$n,""" +
-        s""""skew_marked_joins":$skewJoins,""" +
+        s""""skew_marked_joins":$skewJoins,"route_hot":$routeHot,""" +
         s""""max_task_s":${dec(maxTask, 1)},"p50_task_s":${dec(p50Task, 2)},""" +
         s""""n_tasks":${durs.length},""" +
         s""""gc_s":${dec(census.gcMs.get / 1e3, 1)},""" +

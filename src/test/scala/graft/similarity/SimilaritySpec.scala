@@ -239,4 +239,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.count(_._2._2 == 0) === 1)
     assert(out(23L) === ((2, 0)))
   }
+
+  test("knnLabels pq route: compressed scan reaches the same audit verdict") {
+    // Same audit scenario at PQ-compatible shape: dim 16 (divisible by
+    // the 16 subspaces), 3 clusters × 16 identical vectors (48 ≥ the
+    // 32-codeword sample), row 47 planted with a wrong label. The
+    // majority vote must produce the IDENTICAL verdict through the
+    // ADC-shortlist + refine path — the documented 100 TB route for
+    // label audits (compressed scan instead of exact scoring).
+    val dim = 16
+    val rows = (0L until 48L).map { i =>
+      val c = (i / 16).toInt
+      val v = Seq.tabulate(dim)(j => if (j == c) 1.0f else 0.0f)
+      val lbl = if (i == 47L) 0 else c
+      (i, v, lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def audit(usePq: Boolean) = Similarity.knnLabels(df, "vec_id",
+        "embedding", "label", k = 5, cells = 4, probes = 2, pq = usePq)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label_pred"), r.getAs[Int]("agree")))).toMap
+    val pq = audit(usePq = true)
+    rows.foreach { case (i, _, _) =>
+      assert(pq(i)._1 === (i / 16).toInt, s"vec $i predicted wrong label") }
+    assert(pq.count(_._2._2 == 0) === 1)
+    assert(pq(47L) === ((2, 0)))
+    // and the two routes agree verdict-for-verdict on this corpus
+    assert(pq === audit(usePq = false))
+  }
 }

@@ -90,6 +90,29 @@ class CooccurSpec extends SparkSpecBase {
     assert(def1 === def2)
   }
 
+  test("guard observation surfaces dropped-doc count and max vocab") {
+    // Round-13 advice: the cap must not fire silently. Same cap-2 cell as
+    // above, now with an Observation attached: exactly one doc (doc 1,
+    // vocab 3) is excluded, and the corpus's max vocab is visible.
+    val obs = new org.apache.spark.sql.Observation("cooccur_guard")
+    val guarded = Cooccur.pmiPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minPairDf = 1L, maxDocVocab = 2, guard = Some(obs))
+      .orderBy(col("term_a"), col("term_b")).collect().toSeq
+    assert(obs.get("dropped_docs") === 1L)
+    assert(obs.get("max_doc_vocab") === 3L)
+    // guarded plan is value-identical to the unguarded one
+    val plainRows = Cooccur.pmiPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minPairDf = 1L, maxDocVocab = 2)
+      .orderBy(col("term_a"), col("term_b")).collect().toSeq
+    assert(guarded === plainRows)
+    // conforming corpus: the metric reads zero
+    val obs2 = new org.apache.spark.sql.Observation("cooccur_guard_ok")
+    Cooccur.pmiPairs(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", minPairDf = 1L, guard = Some(obs2)).collect()
+    assert(obs2.get("dropped_docs") === 0L)
+    assert(obs2.get("max_doc_vocab") === 3L)
+  }
+
   test("independent of input partitioning") {
     val df = corpus.toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =

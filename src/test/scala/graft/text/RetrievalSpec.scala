@@ -95,16 +95,73 @@ class RetrievalSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(indexed === direct, s"index divergence for query $q")
     }
-    // same tag → rebuild skipped: postings fingerprint file is untouched
+    // same tag → rebuild skipped: fingerprint CONTENTS unchanged (mtime
+    // comparison can spuriously pass on 1s-granularity filesystems)
     val fp = new java.io.File(s"$dir/postings/_fingerprint")
-    val before = fp.lastModified()
+    def fpContents(): String =
+      new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8")
+    val before = fpContents()
+    assert(before.nonEmpty)
     Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec")
-    assert(fp.lastModified() === before)
-    // changed tag → rebuild
+    assert(fpContents() === before)
+    // changed tag → rebuild with a DIFFERENT fingerprint
     Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec2")
-    assert(fp.exists())
-    assert(new String(java.nio.file.Files.readAllBytes(fp.toPath)) !==
-      "")
+    assert(fpContents() !== before)
+  }
+
+  test("indexed tfidf ≡ per-query tfidf on the same corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_t").toString
+    val df = corpus.toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec")
+    for (m <- Seq(1, 2, 3)) {
+      val indexed = Retrieval.tfidfFromIndex(spark, dir, m)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(indexed === tfidfModel(m).toSet, s"index divergence for m=$m")
+    }
+    // canonical id column name is `doc`
+    assert(Retrieval.tfidfFromIndex(spark, dir, 1).columns.toSeq ===
+      Seq("doc", "term", "rank", "tfidf"))
+  }
+
+  test("index freshness: in-place corpus append rebuilds without a tag bump") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fresh")
+    val corpusDir = s"$base/docs.parquet"
+    val idxDir = s"$base/idx"
+    corpus.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    val tag = corpusDir // same tag throughout — content must carry identity
+    Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", idxDir, sourceTag = tag)
+    val fp = java.nio.file.Paths.get(s"$idxDir/postings/_fingerprint")
+    val fpBefore = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+    val before = Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10).count()
+    assert(before === 0L) // no doc mentions fig yet
+    // APPEND a doc in place: same directory, same tag, new parquet file
+    Seq((6L, "fig fig banana")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", idxDir, sourceTag = tag)
+    val fpAfter = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+    assert(fpAfter !== fpBefore) // content signature invalidated the index
+    val after = Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === Seq(6L)) // the appended doc is served, not stale data
+    // contentFingerprint=false restores the pure tag contract: no rebuild
+    Seq((7L, "grape")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", idxDir, sourceTag = tag, contentFingerprint = false)
+    // tag-only config differs from the content-carrying one → one rebuild
+    // happens, but a SECOND tag-only build after another append must hit
+    val fpTagOnly = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+    Seq((8L, "kiwi")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", idxDir, sourceTag = tag, contentFingerprint = false)
+    assert(new String(java.nio.file.Files.readAllBytes(fp), "UTF-8") ===
+      fpTagOnly) // stale by contract: caller owns versioning via the tag
   }
 
   /** Driver-side TF-IDF top-m. */
@@ -133,6 +190,56 @@ class RetrievalSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     assert(got === tfidfModel(2))
+  }
+
+  test("tfidf auto-route: census picks PLAIN below the task threshold") {
+    // Exact census (fraction 1.0) on the spec corpus: max df = 3 (banana)
+    // → 3 × 40 B ≪ 128 MB → the plain single term join, no hot/cold Union
+    // in the plan. This pins the registered-corpus behavior: every sf0.1
+    // certificate query keeps the measured-faster plain plan.
+    val df = corpus.toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+      censusFraction = 1.0)
+    assert(!out.queryExecution.analyzed.toString.contains("Union"))
+    assert(out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet === tfidfModel(2).toSet)
+  }
+
+  test("tfidf auto-route: census picks HOT past the task threshold") {
+    // Shrink the threshold so the spec corpus's hottest term (df 3 →
+    // 120 B) crosses it: the census must choose the broadcast route —
+    // hot/cold Union present — with identical output.
+    val df = corpus.toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+      hotTaskBytes = 100L, censusFraction = 1.0)
+    assert(out.queryExecution.analyzed.toString.contains("Union"))
+    assert(out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet === tfidfModel(2).toSet)
+    spark.catalog.clearCache() // hot route persists the df aggregate
+    // decision function is the documented inequality, exactly
+    assert(Retrieval.autoRouteHot(4000000L, Retrieval.DefaultHotTaskBytes))
+    assert(!Retrieval.autoRouteHot(3000000L, Retrieval.DefaultHotTaskBytes))
+  }
+
+  test("tfidf indexed auto-route parity: postings census routes both ways") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_r").toString
+    val df = corpus.toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec")
+    def run(taskBytes: Long) =
+      Retrieval.tfidfFromIndex(spark, dir, m = 2, hotTaskBytes = taskBytes,
+        censusFraction = 1.0)
+    val plain = run(Retrieval.DefaultHotTaskBytes)
+    val hot = run(100L)
+    assert(!plain.queryExecution.analyzed.toString.contains("Union"))
+    assert(hot.queryExecution.analyzed.toString.contains("Union"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(plain) === tfidfModel(2).toSet)
+    assert(rows(hot) === tfidfModel(2).toSet)
+    spark.catalog.clearCache()
   }
 
   test("tfidf route parity: heavy-hitter routing ≡ plain term join") {
