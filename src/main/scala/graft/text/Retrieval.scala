@@ -181,10 +181,39 @@ object Retrieval {
     * stopword's 160 MB partition ran a 36 s straggler vs a 1.1 s p50). */
   val DefaultHotTaskBytes: Long = 128L << 20
 
-  /** The route decision, pure: route hot when the estimated hottest
-    * term's postings outgrow a single task. */
-  private[text] def autoRouteHot(estMaxDf: Long, hotTaskBytes: Long): Boolean =
-    estMaxDf * PostingRowBytes > hotTaskBytes
+  /** Working estimate of one df row's footprint (term string + count)
+    * in the broadcast-feasibility test. */
+  val DfRowBytes = 32L
+
+  /** The route decision, pure — route hot only when BOTH hold:
+    *
+    *   1. the estimated hottest term's postings outgrow a single task
+    *      (`estMaxDf × PostingRowBytes > hotTaskBytes`) — the skew
+    *      hazard itself; and
+    *   2. the df side is too big to BROADCAST
+    *      (`estVocab × DfRowBytes > broadcastBytes`) — because when the
+    *      vocabulary fits under `spark.sql.autoBroadcastJoinThreshold`,
+    *      the plain "join" is a BroadcastHashJoin and NO term-keyed
+    *      exchange exists for a hot key to skew: routing there is pure
+    *      overhead. Round 14 measured exactly that on the registered
+    *      sf100 corpus (31-term vocabulary, 5M docs): maxDf alone said
+    *      "hot" and the routed plan paid 1.42× wall + 64 GB of spill vs
+    *      the broadcast plain plan, removing a hazard that was never
+    *      present. The r13 SkewPhase synthetic (80M-term vocabulary)
+    *      fails the broadcast test by 2.7 GB and routes, as it must. */
+  private[text] def autoRouteHot(estMaxDf: Long, estVocab: Long,
+      hotTaskBytes: Long, broadcastBytes: Long): Boolean =
+    estMaxDf * PostingRowBytes > hotTaskBytes &&
+      estVocab * DfRowBytes > broadcastBytes
+
+  /** The session's broadcast-join threshold in bytes (the
+    * feasibility bound for test 2 above); -1 (broadcast disabled) maps
+    * to 0 so any vocabulary fails the broadcast test. */
+  private def broadcastBytes(spark: SparkSession): Long =
+    try math.max(0L, org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10MB")))
+    catch { case _: NumberFormatException => 10L << 20 }
 
   /** Scale a sampled max-count back to corpus scale (ceil — the census
     * prefers a false hot over a false plain near the boundary, where the
@@ -193,43 +222,87 @@ object Retrieval {
     if (fraction >= 1.0) sampleMax
     else math.ceil(sampleMax.toDouble / fraction).toLong
 
-  /** Sampled df census over tokenized docs (`__toks` column): estimated
-    * max document-frequency. A stopword-grade hot term (df ≈ N) is
+  /** Sampled df census over RAW docs: (estimated max document-frequency,
+    * estimated vocabulary size). A stopword-grade hot term (df ≈ N) is
     * visible in ANY doc sample — a 1% census sees a df-3.4M term ~34k
-    * times — so the estimate is reliable exactly where the decision
-    * matters; mid-range terms can flap the decision, which is harmless
-    * (both routes are value-identical, parity-spec'd). Seeded, so the
-    * decision — and the bench plan — is stable run-to-run. */
-  private[text] def censusMaxDf(toked: DataFrame, fraction: Double): Long = {
+    * times — so the max-df estimate (`sampleMax / fraction`) is reliable
+    * exactly where the decision matters; mid-range terms can flap the
+    * decision, which is harmless (both routes are value-identical,
+    * parity-spec'd). Seeded, so the decision — and the bench plan — is
+    * stable run-to-run.
+    *
+    * Vocabulary (the broadcast-feasibility input) is the CHAO1 species
+    * estimator (Chao 1984): T̂ = D + n1(n1−1)/(2(n2+1)) over the
+    * sample's distinct-term count D, singletons n1, doubletons n2. The
+    * naive `D / fraction` first cut mis-routed the registered sf100
+    * corpus: its 31k-term vocabulary is FULLY visible in a 1% sample
+    * (every term's df ≈ 5000 → ~50 sampled hits), so dividing by the
+    * fraction inflated 31k to 3.1M, failed the broadcast test, and paid
+    * the hot route's measured 1.7× wall + 64 GB spill for a join that
+    * broadcasts. Chao1 keys on SINGLETONS — the signature of an
+    * undersampled vocabulary: a fully-seen vocab has n1 ≈ 0 and
+    * estimates ≈ D (sf100 → 31k → broadcast → plain), while a df-1-heavy
+    * tail (the 80M-term SkewPhase synthetic, or any real open-domain
+    * corpus) is singleton-dominated and the n1² term explodes past any
+    * broadcast threshold (→ hot), which is the safe direction — the
+    * failure mode of underestimating here would be shipping the skewed
+    * exchange. At `fraction ≥ 1` the sample IS the corpus and T̂ = D
+    * exactly. */
+  private[text] def censusDf(docs: DataFrame, text: String,
+      fraction: Double): (Long, Long) = {
     val s =
-      if (fraction >= 1.0) toked
-      else toked.sample(withReplacement = false, fraction, seed = 8361L)
-    val row = s.select(explode(array_distinct(col("__toks"))).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).cast("long").as("__c"))
-      .agg(max(col("__c"))).collect()(0)
-    scaleUp(if (row.isNullAt(0)) 0L else row.getLong(0), fraction)
+      if (fraction >= 1.0) docs
+      else docs.sample(withReplacement = false, fraction, seed = 8361L)
+    census(s.select(explode(array_distinct(tokens(col(text)))).as("term")),
+      fraction)
   }
 
   /** Sampled df census over a postings table (one row per (term, doc)):
-    * estimated max df = max per-term row count, scaled back. */
-  private[text] def censusMaxDfPostings(postings: DataFrame,
-      fraction: Double): Long = {
+    * same two estimates from the postings rows directly. */
+  private[text] def censusDfPostings(postings: DataFrame,
+      fraction: Double): (Long, Long) = {
     val s =
       if (fraction >= 1.0) postings
       else postings.sample(withReplacement = false, fraction, seed = 8361L)
-    val row = s.groupBy(col("term"))
-      .agg(count(lit(1)).cast("long").as("__c"))
-      .agg(max(col("__c"))).collect()(0)
-    scaleUp(if (row.isNullAt(0)) 0L else row.getLong(0), fraction)
+    census(s.select(col("term")), fraction)
+  }
+
+  /** One aggregation job over the sampled term stream:
+    * (sampleMaxCount/fraction, Chao1 vocabulary estimate). */
+  private def census(terms: DataFrame, fraction: Double): (Long, Long) = {
+    val row = terms
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("__c"))
+      .agg(max(col("__c")),
+        count(lit(1)).cast("long"),
+        coalesce(sum(when(col("__c") === 1L, 1L).otherwise(0L)),
+          lit(0L)).cast("long"),
+        coalesce(sum(when(col("__c") === 2L, 1L).otherwise(0L)),
+          lit(0L)).cast("long"))
+      .collect()(0)
+    val maxC = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val d = row.getLong(1)
+    val n1 = row.getLong(2).toDouble
+    val n2 = row.getLong(3).toDouble
+    val vocab =
+      if (fraction >= 1.0) d
+      else {
+        val chao = d.toDouble + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0))
+        if (chao > Long.MaxValue.toDouble) Long.MaxValue else chao.toLong
+      }
+    (scaleUp(maxC, fraction), vocab)
   }
 
   /** Resolve the `hotTerms` knob: >0 forces the hot route with that H,
     * 0 forces the plain join, <0 (the default) asks the census. */
-  private def resolveHot(hotTerms: Int, census: => Long,
-      hotTaskBytes: Long): Int =
+  private def resolveHot(hotTerms: Int, censusEst: => (Long, Long),
+      hotTaskBytes: Long, spark: SparkSession): Int =
     if (hotTerms >= 0) hotTerms
-    else if (autoRouteHot(census, hotTaskBytes)) AutoHotTerms
-    else 0
+    else {
+      val (estMaxDf, estVocab) = censusEst
+      if (autoRouteHot(estMaxDf, estVocab, hotTaskBytes,
+        broadcastBytes(spark))) AutoHotTerms
+      else 0
+    }
 
   /** tf ⋈ df on `term`, routed: plain single join when `hotH == 0`;
     * otherwise the top-H terms by df close as a ≤H-row local list
@@ -299,14 +372,18 @@ object Retrieval {
     * `cosineTopK`/`simhashPairs` auto-router precedent — round 13 shipped
     * the safe branch behind a manual knob, which the verdict correctly
     * called the one surviving scale-killer default. The decision comes
-    * from a seeded `censusFraction` doc-sample df census (~1% of one
-    * token pass — the full census would cost a whole extra corpus pass
-    * per call): route hot iff est-max-df × [[PostingRowBytes]] >
-    * `hotTaskBytes`. Stopword-dense corpora at scale route
-    * automatically; small corpora (and every registered sf0.1 query)
-    * keep the measured-faster plain join. `hotTerms = 0` forces plain,
-    * `> 0` forces hot with that H — both remain for A/B tools and
-    * corpora the caller knows better than a sample does.
+    * from a seeded `censusFraction` doc-sample census (~1% of one token
+    * pass — the full census would cost a whole extra corpus pass per
+    * call) testing BOTH hazard conditions (see [[autoRouteHot]]): the
+    * hottest term's postings outgrow a task AND the vocabulary outgrows
+    * the broadcast threshold — when the df side broadcasts there is no
+    * term exchange to skew, and routing is pure loss (measured: 1.42×
+    * wall + 64 GB spill on the 31-term sf100 corpus before the
+    * broadcast test existed). Stopword-dense big-vocabulary corpora at
+    * scale route automatically; small-vocab corpora (every registered
+    * query at every SF) keep the broadcast plain join. `hotTerms = 0`
+    * forces plain, `> 0` forces hot with that H — both remain for A/B
+    * tools and corpora the caller knows better than a sample does.
     */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
       m: Int, hotTerms: Int = -1,
@@ -333,7 +410,7 @@ object Retrieval {
     // one row per map task); only the JOIN back to the posting stream
     // skews — hence the route.
     val resolved = resolveHot(hotTerms,
-      censusMaxDf(toked, censusFraction), hotTaskBytes)
+      censusDf(docs, text, censusFraction), hotTaskBytes, docs.sparkSession)
     val joined = dfJoinRouted(tf, resolved)
 
     val tfidf = col("__tf").cast("double") / col("__dl").cast("double") *
@@ -527,7 +604,7 @@ object Retrieval {
       spark.read.parquet(s"$indexPath/stats").select(col("n")))
 
     val resolved = resolveHot(hotTerms,
-      censusMaxDfPostings(postings, censusFraction), hotTaskBytes)
+      censusDfPostings(postings, censusFraction), hotTaskBytes, spark)
     val joined = dfJoinRouted(postings, resolved)
 
     val tfidf = col("tf").cast("double") / col("dl").cast("double") *

@@ -206,21 +206,37 @@ class RetrievalSpec extends SparkSpecBase {
       .toSet === tfidfModel(2).toSet)
   }
 
-  test("tfidf auto-route: census picks HOT past the task threshold") {
-    // Shrink the threshold so the spec corpus's hottest term (df 3 →
-    // 120 B) crosses it: the census must choose the broadcast route —
-    // hot/cold Union present — with identical output.
+  test("tfidf auto-route: census picks HOT only when BOTH hazards hold") {
+    // Shrink the task threshold so the spec corpus's hottest term (df 3
+    // → 120 B) crosses it. With the session's default broadcast
+    // threshold the df side (6 terms) broadcasts, so no term exchange
+    // exists and the census must STILL pick plain; with the broadcast
+    // threshold shrunk below the vocabulary too, the census must choose
+    // the hot route — hot/cold Union present — with identical output.
     val df = corpus.toDF("doc_id", "text")
-    val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+    val taskBound = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
       hotTaskBytes = 100L, censusFraction = 1.0)
-    assert(out.queryExecution.analyzed.toString.contains("Union"))
-    assert(out.collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-      .toSet === tfidfModel(2).toSet)
+    assert(!taskBound.queryExecution.analyzed.toString.contains("Union"),
+      "routed despite a broadcastable df side")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+        hotTaskBytes = 100L, censusFraction = 1.0)
+      assert(out.queryExecution.analyzed.toString.contains("Union"))
+      assert(out.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet === tfidfModel(2).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     spark.catalog.clearCache() // hot route persists the df aggregate
-    // decision function is the documented inequality, exactly
-    assert(Retrieval.autoRouteHot(4000000L, Retrieval.DefaultHotTaskBytes))
-    assert(!Retrieval.autoRouteHot(3000000L, Retrieval.DefaultHotTaskBytes))
+    // decision function is the documented two-condition inequality
+    val bc = 10L << 20
+    assert(Retrieval.autoRouteHot(4000000L, 80000000L,
+      Retrieval.DefaultHotTaskBytes, bc))
+    assert(!Retrieval.autoRouteHot(3000000L, 80000000L,
+      Retrieval.DefaultHotTaskBytes, bc), "task bound must gate")
+    assert(!Retrieval.autoRouteHot(4000000L, 31L,
+      Retrieval.DefaultHotTaskBytes, bc), "broadcastable df must gate")
   }
 
   test("tfidf indexed auto-route parity: postings census routes both ways") {
@@ -231,8 +247,12 @@ class RetrievalSpec extends SparkSpecBase {
       Retrieval.tfidfFromIndex(spark, dir, m = 2, hotTaskBytes = taskBytes,
         censusFraction = 1.0)
     val plain = run(Retrieval.DefaultHotTaskBytes)
-    val hot = run(100L)
     assert(!plain.queryExecution.analyzed.toString.contains("Union"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val hot = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      run(100L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert(hot.queryExecution.analyzed.toString.contains("Union"))
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
