@@ -52,14 +52,34 @@ object Bench {
     def warm(): Unit =
       warmTables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     warm()
+    // Optional UNMEASURED warm lap over the selected queries (dev-only,
+    // for subset ladder sessions): table warmup pays the read path, but
+    // the alphabetically-FIRST query of a subset session still pays the
+    // session's JIT + whole-stage-codegen compilation inside its
+    // measured runs — the round-14 sf10full ladders read q100 anywhere
+    // from 4.4 to 17.4 s purely by session position (gc column 10.7 s
+    // cold vs 2.8 s warm). One unmeasured lap makes every query's
+    // measured runs equally warm. Off by default: the driver contract
+    // measures cold-inclusive, and the certificate mint's median-of-3
+    // already absorbs one cold run.
+    val warmLap = sys.env.get("SPARK_GRAFT_BENCH_WARM_LAP").contains("1")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val metricsOut =
       scala.collection.mutable.LinkedHashMap.empty[String, String]
     def drain(): Unit = org.apache.spark.graftbridge.ListenerDrain
       .drain(spark.sparkContext)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) &&
         !skip.contains(name) }
+    if (warmLap) selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm lap $name failed: $e")
+      }
+    }
+    val results = selected
       .flatMap { case (name, fn) =>
       drain(); census.reset()
       // A crashed run's elapsed time is NOT a measurement: only
