@@ -167,16 +167,34 @@ object Catalog {
 
   /** Refresh-if-stale materialized derived table: recompute and rewrite
     * when the fingerprint file is missing or differs (mtime-free variant
-    * of the reference's discovery cache — content identity only). */
+    * of the reference's discovery cache — content identity only).
+    *
+    * The `_fingerprint` sidecar goes through the path's Hadoop
+    * FileSystem (the [[writeWithManifest]] convention), not java.io —
+    * a derived table cached on the cluster's store (HDFS/S3A) must
+    * carry its identity next to its data, or every fresh driver would
+    * silently rebuild (or worse, a local stale fingerprint would mask a
+    * remote rebuild). The underscore prefix keeps it invisible to
+    * Spark's readers, like `_manifest.json`. */
   def cachedDerived(spark: SparkSession, path: String,
                     config: Map[String, String])(compute: => DataFrame): DataFrame = {
     val fp = configFingerprint(config)
-    val fpFile = new java.io.File(s"$path/_fingerprint")
-    val hit = fpFile.exists() &&
-      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fpPath = new org.apache.hadoop.fs.Path(path, "_fingerprint")
+    val fs = fpPath.getFileSystem(conf)
+    val hit = fs.exists(fpPath) && {
+      val in = fs.open(fpPath)
+      val got = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      got == fp
+    }
     if (!hit) {
       compute.write.mode("overwrite").parquet(path)
-      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
     spark.read.parquet(path)
   }

@@ -496,16 +496,29 @@ object Retrieval {
       contentFingerprint: Boolean = true): Unit = {
     val spark = docs.sparkSession
     val content = if (contentFingerprint) contentSignature(docs) else "caller"
+    // version 2: postings range-partitioned on (term, doc) — the
+    // builder FORMAT version, bumped so indexes cached under the
+    // term-only layout rebuild into the hot-term-splittable one.
     val config = Map("source" -> sourceTag, "content" -> content,
-      "id" -> id, "text" -> text, "version" -> "1")
+      "id" -> id, "text" -> text, "version" -> "2")
     graft.catalog.Catalog.cachedDerived(spark, s"$indexPath/postings", config) {
       docs.select(col(id).as("doc"), tokens(col(text)).as("__toks"))
         .select(col("doc"), size(col("__toks")).cast("long").as("dl"),
           explode(col("__toks")).as("term"))
         .groupBy(col("term"), col("doc"), col("dl"))
         .agg(count(lit(1)).cast("long").as("tf"))
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions(col("term"))
+        // Range-partition on (term, doc), not term alone: equal range
+        // keys cannot split across partitions, so a term-only range put
+        // a stopword's ENTIRE postings run (df ≈ N_docs rows — the very
+        // hot key the query-side router exists for) into one build
+        // partition and one output file. The doc tiebreaker lets the
+        // range partitioner cut inside a hot term at doc boundaries
+        // while files stay term-clustered — every file still carries a
+        // tight term min/max, so the query's IN pushdown prunes exactly
+        // as before (a term spanning k files reads k row groups, which
+        // is the point).
+        .repartitionByRange(col("term"), col("doc"))
+        .sortWithinPartitions(col("term"), col("doc"))
     }
     graft.catalog.Catalog.cachedDerived(spark, s"$indexPath/stats", config) {
       docs.select(size(tokens(col(text))).cast("long").as("dl"))
