@@ -13,6 +13,20 @@ import graft.text.{Budget, Cooccur, Curation, Dsir, LangModel, Packing, Redact, 
   */
 object TextQueries extends QueryPack {
 
+  /** Local index directory for a source-data tag (q99/q100 share it).
+    * The sanitizer alone is not injective (`/a/b` and `/a_b` collide
+    * onto one directory — the fingerprint keeps results correct but two
+    * such corpora alternating would thrash full rebuilds per query), so
+    * a short hash of the UNSANITIZED tag makes the mapping injective
+    * while the readable prefix stays for humans. */
+  private def indexDirFor(tag: String): String = {
+    val short = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(tag.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    "target/q99_index/" + tag.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + short
+  }
+
   /** DuckDB CTEs for word tokens, distinct 3-gram shingles, and the
     * 60-bit md5 shingle hash the Spark side joins on (`shh` mirrors
     * `Dedup.shingleHash` exactly, collisions included). */
@@ -843,8 +857,7 @@ object TextQueries extends QueryPack {
     "q99_bm25_indexed" -> QueryDef(
       (s, dir) => {
         val tag = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-        val idx = "target/q99_index/" +
-          tag.replaceAll("[^A-Za-z0-9._-]", "_")
+        val idx = indexDirFor(tag)
         Retrieval.buildPostingsIndex(balanced(Tables.documents(s, dir)),
           "doc_id", "text", idx, sourceTag = tag)
         Retrieval.bm25FromIndex(s, idx,
@@ -867,8 +880,7 @@ object TextQueries extends QueryPack {
     "q100_tfidf_indexed" -> QueryDef(
       (s, dir) => {
         val tag = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-        val idx = "target/q99_index/" +
-          tag.replaceAll("[^A-Za-z0-9._-]", "_")
+        val idx = indexDirFor(tag)
         Retrieval.buildPostingsIndex(balanced(Tables.documents(s, dir)),
           "doc_id", "text", idx, sourceTag = tag)
         Retrieval.tfidfFromIndex(s, idx, m = 3)

@@ -139,10 +139,14 @@ object SkewPhase {
       val plan = qe.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val skewJoins = "skew=true".r.findAllIn(plan).length
-      // The hot route's signature in the physical plan: the hot/cold
-      // Union (the plain join has none). This is how the "auto" cell
-      // PROVES which route the census picked.
-      val routeHot = plan.contains("Union")
+      // The hot route's signature: the `graft_hot_terms` subquery alias
+      // the router stamps on the hot broadcast frame (analyzed plan —
+      // unambiguous; a bare `Union` test would false-positive on any
+      // future unrelated Union) corroborated by the hot/cold Union in
+      // the physical plan. This is how the "auto" cell PROVES which
+      // route the census picked.
+      val routeHot = qe.analyzed.toString.contains("graft_hot_terms") &&
+        plan.contains("Union")
       val durs = tasks.snapshot()
       val maxTask = durs.lastOption.getOrElse(0L) / 1e3
       val p50Task = if (durs.isEmpty) 0.0 else durs(durs.size / 2) / 1e3

@@ -200,7 +200,7 @@ class RetrievalSpec extends SparkSpecBase {
     val df = corpus.toDF("doc_id", "text")
     val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
       censusFraction = 1.0)
-    assert(!out.queryExecution.analyzed.toString.contains("Union"))
+    assert(!out.queryExecution.analyzed.toString.contains("graft_hot_terms"))
     assert(out.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet === tfidfModel(2).toSet)
@@ -216,14 +216,14 @@ class RetrievalSpec extends SparkSpecBase {
     val df = corpus.toDF("doc_id", "text")
     val taskBound = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
       hotTaskBytes = 100L, censusFraction = 1.0)
-    assert(!taskBound.queryExecution.analyzed.toString.contains("Union"),
+    assert(!taskBound.queryExecution.analyzed.toString.contains("graft_hot_terms"),
       "routed despite a broadcastable df side")
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
       val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
         hotTaskBytes = 100L, censusFraction = 1.0)
-      assert(out.queryExecution.analyzed.toString.contains("Union"))
+      assert(out.queryExecution.analyzed.toString.contains("graft_hot_terms"))
       assert(out.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet === tfidfModel(2).toSet)
@@ -247,13 +247,13 @@ class RetrievalSpec extends SparkSpecBase {
       Retrieval.tfidfFromIndex(spark, dir, m = 2, hotTaskBytes = taskBytes,
         censusFraction = 1.0)
     val plain = run(Retrieval.DefaultHotTaskBytes)
-    assert(!plain.queryExecution.analyzed.toString.contains("Union"))
+    assert(!plain.queryExecution.analyzed.toString.contains("graft_hot_terms"))
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hot = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
       run(100L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-    assert(hot.queryExecution.analyzed.toString.contains("Union"))
+    assert(hot.queryExecution.analyzed.toString.contains("graft_hot_terms"))
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
@@ -290,6 +290,97 @@ class RetrievalSpec extends SparkSpecBase {
     val first = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 1)
       .collect().map(_.getString(1)).toSet
     assert(first === Set("x", "y", "z"))
+  }
+
+  test("autoRouteHot survives Long-overflow-grade estimates (safe direction)") {
+    // The Chao1 estimate caps at Long.MaxValue and explodes as n1² on
+    // singleton-dominated samples; the multiply form of the broadcast
+    // test (estVocab × 32) wrapped negative above ~2.9e17 and silently
+    // picked PLAIN on exactly the huge-vocabulary corpus the hot route
+    // protects. The division form must route.
+    val bc = 10L << 20
+    assert(Retrieval.autoRouteHot(Long.MaxValue, Long.MaxValue,
+      Retrieval.DefaultHotTaskBytes, bc))
+    assert(Retrieval.autoRouteHot(4000000L, Long.MaxValue,
+      Retrieval.DefaultHotTaskBytes, bc))
+    // and a max-df estimate past the multiply-overflow point still gates
+    // on the broadcastable-vocabulary condition
+    assert(!Retrieval.autoRouteHot(Long.MaxValue, 31L,
+      Retrieval.DefaultHotTaskBytes, bc))
+    // broadcast disabled (threshold mapped to 0): any vocabulary routes
+    // once the task bound holds
+    assert(Retrieval.autoRouteHot(4000000L, 1L,
+      Retrieval.DefaultHotTaskBytes, 0L))
+  }
+
+  test("census is memoized per (session, plan, fraction) — one job, not N") {
+    Retrieval.clearCensusCache()
+    val df = corpus.toDF("doc_id", "text")
+    val runs0 = Retrieval.censusRuns.get()
+    val a = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+      censusFraction = 1.0)
+    val afterFirst = Retrieval.censusRuns.get()
+    assert(afterFirst === runs0 + 1, "first construction runs the census")
+    val b = Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+      censusFraction = 1.0)
+    assert(Retrieval.censusRuns.get() === afterFirst,
+      "same-corpus repeat must hit the memo, not re-census")
+    // the memoized decision serves identical results
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(a) === rows(b))
+    // a different fraction is a different decision key
+    Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 2,
+      censusFraction = 0.9999)
+    assert(Retrieval.censusRuns.get() === afterFirst + 1)
+    // a semantically different source re-censuses
+    Retrieval.tfidfTopTerms(df.filter(col("doc_id") =!= 5L), "doc_id",
+      "text", m = 2, censusFraction = 1.0)
+    assert(Retrieval.censusRuns.get() === afterFirst + 2)
+    Retrieval.clearCensusCache()
+    assert(Retrieval.censusCacheSize === 0)
+  }
+
+  test("hot-route df cache is bounded and managed (no growth across calls)") {
+    Retrieval.clearDfCache()
+    import spark.implicits._
+    def persistedCount(): Int = spark.sparkContext.getPersistentRDDs.size
+    // distinct corpora, each forced onto the hot route: entries must not
+    // grow past the LRU cap, and evictions must unpersist
+    val base = persistedCount()
+    for (i <- 1 to 6) {
+      val df = (corpus :+ (100L + i, s"unique$i token$i"))
+        .toDF("doc_id", "text")
+      Retrieval.tfidfTopTerms(df, "doc_id", "text", m = 1, hotTerms = 1)
+        .collect()
+    }
+    assert(Retrieval.dfCacheSize <= 4, "LRU cap must bound the entries")
+    assert(persistedCount() - base <= 4,
+      "evictions must unpersist the df aggregate")
+    // repeat calls on ONE corpus: no new entries, no new storage, and the
+    // heavy-hitter close is not re-collected (entry identity is stable)
+    val one = corpus.toDF("doc_id", "text")
+    Retrieval.tfidfTopTerms(one, "doc_id", "text", m = 1, hotTerms = 1)
+      .collect()
+    val sizeAfter = Retrieval.dfCacheSize
+    val storeAfter = persistedCount()
+    for (_ <- 1 to 3)
+      Retrieval.tfidfTopTerms(one, "doc_id", "text", m = 1, hotTerms = 1)
+        .collect()
+    assert(Retrieval.dfCacheSize === sizeAfter)
+    assert(persistedCount() === storeAfter)
+    // clearCache empties storage but a later hit re-persists lazily and
+    // still serves correct rows (the pair-cache convention)
+    spark.catalog.clearCache()
+    val got = Retrieval.tfidfTopTerms(one, "doc_id", "text", m = 2,
+        hotTerms = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === tfidfModel(2).toSet)
+    Retrieval.clearDfCache()
+    assert(Retrieval.dfCacheSize === 0)
   }
 
   test("both operators are independent of input partitioning") {
