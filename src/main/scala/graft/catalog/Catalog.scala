@@ -64,25 +64,59 @@ object Catalog {
   def writeWithManifest(df: DataFrame, path: String,
                         meta: Map[String, String]): Unit = {
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
-    val json = meta.toSeq.sortBy(_._1)
+    writeKvFile(df.sparkSession,
+      new org.apache.hadoop.fs.Path(path, "_manifest.json").toString, meta)
+  }
+
+  /** Write a flat string-KV map as JSON to `path` (any Hadoop-FS scheme),
+    * atomically where the scheme supports `FileContext.rename` with
+    * OVERWRITE — readers then see either the previous complete file or
+    * the new complete one, never a truncated or absent state. Schemes
+    * without FileContext fall back to delete-then-rename (small crash
+    * window where NO file exists; readers see "absent", never garbage).
+    * The [[writeWithManifest]] mechanism, exposed for other sidecar
+    * metadata (e.g. the Retrieval postings-segment manifest). */
+  def writeKvFile(spark: SparkSession, path: String,
+                  kv: Map[String, String]): Unit = {
+    val json = kv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
       .mkString("{", ",", "}")
-    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
-    val tmp = new org.apache.hadoop.fs.Path(path, "_manifest.json.tmp")
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     try {
       // Atomic replace: rename with OVERWRITE never exposes a state with
-      // no manifest (delete+rename does, between the two calls).
+      // no file (delete+rename does, between the two calls).
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
       fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         fs.delete(p, false) // non-atomic fallback: see scaladoc
         if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"manifest rename failed: $tmp -> $p")
+          throw new java.io.IOException(s"kv-file rename failed: $tmp -> $p")
+    }
+  }
+
+  /** Read back a [[writeKvFile]] map. MISSING file → None. A file that
+    * exists but does not parse fails LOUDLY — corrupt must not be
+    * indistinguishable from absent (the [[readManifest]] contract). */
+  def readKvFile(spark: SparkSession, path: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    try Some(parseFlatJson(json))
+    catch {
+      case e: Exception => throw new java.io.IOException(
+        s"malformed kv file at $p (${json.length} bytes): ${e.getMessage}", e)
     }
   }
 

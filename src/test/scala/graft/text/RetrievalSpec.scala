@@ -95,18 +95,16 @@ class RetrievalSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(indexed === direct, s"index divergence for query $q")
     }
-    // same tag → rebuild skipped: fingerprint CONTENTS unchanged (mtime
-    // comparison can spuriously pass on 1s-granularity filesystems)
-    val fp = new java.io.File(s"$dir/postings/_fingerprint")
-    def fpContents(): String =
-      new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8")
-    val before = fpContents()
-    assert(before.nonEmpty)
+    // same tag → rebuild skipped (in-memory source: tag-only identity)
     Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec")
-    assert(fpContents() === before)
-    // changed tag → rebuild with a DIFFERENT fingerprint
+    assert(Retrieval.lastBuildInfo.mode === "noop")
+    // changed tag → full rebuild under a different manifest config
+    val cfgBefore =
+      Retrieval.readSegmentManifest(spark, dir).get("config")
     Retrieval.buildPostingsIndex(df, "doc_id", "text", dir, sourceTag = "spec2")
-    assert(fpContents() !== before)
+    assert(Retrieval.lastBuildInfo.mode === "full")
+    assert(Retrieval.readSegmentManifest(spark, dir).get("config")
+      !== cfgBefore)
   }
 
   test("indexed tfidf ≡ per-query tfidf on the same corpus") {
@@ -125,7 +123,7 @@ class RetrievalSpec extends SparkSpecBase {
       Seq("doc", "term", "rank", "tfidf"))
   }
 
-  test("index freshness: in-place corpus append rebuilds without a tag bump") {
+  test("index freshness: in-place append serves fresh results incrementally") {
     val base = java.nio.file.Files.createTempDirectory("graft_fresh")
     val corpusDir = s"$base/docs.parquet"
     val idxDir = s"$base/idx"
@@ -134,34 +132,159 @@ class RetrievalSpec extends SparkSpecBase {
     val tag = corpusDir // same tag throughout — content must carry identity
     Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
       "doc_id", "text", idxDir, sourceTag = tag)
-    val fp = java.nio.file.Paths.get(s"$idxDir/postings/_fingerprint")
-    val fpBefore = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+    assert(Retrieval.lastBuildInfo.mode === "full")
     val before = Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10).count()
     assert(before === 0L) // no doc mentions fig yet
-    // APPEND a doc in place: same directory, same tag, new parquet file
+    // same corpus again → noop, nothing tokenized
+    Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", idxDir, sourceTag = tag)
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("noop", 1, 0))
+    // APPEND a doc in place: same directory, same tag, new parquet file.
+    // The build must tokenize ONLY the appended file (input-file
+    // accounting via the manifest + the build-info counter), not the
+    // whole corpus — the round-14 contract rebuilt everything here.
     Seq((6L, "fig fig banana")).toDF("doc_id", "text").repartition(1)
       .write.mode("append").parquet(corpusDir)
     Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
       "doc_id", "text", idxDir, sourceTag = tag)
-    val fpAfter = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
-    assert(fpAfter !== fpBefore) // content signature invalidated the index
+    assert(Retrieval.lastBuildInfo ===
+      Retrieval.IndexBuildInfo("append", 2, 1))
+    // the new segment's manifest entry covers exactly the appended file
+    val m = Retrieval.readSegmentManifest(spark, idxDir).get
+    assert(m("n_segments") === "2")
+    assert(!m("seg.1.files").contains("\n"), "one appended file expected")
     val after = Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10)
       .collect().map(_.getLong(0)).toSeq
     assert(after === Seq(6L)) // the appended doc is served, not stale data
-    // contentFingerprint=false restores the pure tag contract: no rebuild
+    // the merged index equals a from-scratch per-query run on the full
+    // corpus — segment union must be value-invisible
+    val direct = Retrieval.bm25TopK(spark.read.parquet(corpusDir),
+        "doc_id", "text", Seq("banana", "fig"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Retrieval.bm25FromIndex(spark, idxDir,
+        Seq("banana", "fig"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed === direct)
+    // a MODIFIED covered file breaks append identity → full rebuild
+    spark.read.parquet(corpusDir).filter(col("doc_id") =!= 2L)
+      .repartition(1).write.mode("overwrite").parquet(s"$base/docs2.parquet")
+    // (rewrite the corpus dir in place with one doc dropped)
+    spark.read.parquet(s"$base/docs2.parquet").repartition(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
+      "doc_id", "text", idxDir, sourceTag = tag)
+    assert(Retrieval.lastBuildInfo.mode === "full")
+    assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("cherry"), 10)
+      .collect().map(_.getLong(0)).toSeq === Seq(4L)) // doc 2 gone
+    // contentFingerprint=false restores the pure tag contract: the first
+    // tag-only build rebuilds (different config), a SECOND after another
+    // append must noop — stale by contract, caller owns versioning
     Seq((7L, "grape")).toDF("doc_id", "text").repartition(1)
       .write.mode("append").parquet(corpusDir)
     Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
       "doc_id", "text", idxDir, sourceTag = tag, contentFingerprint = false)
-    // tag-only config differs from the content-carrying one → one rebuild
-    // happens, but a SECOND tag-only build after another append must hit
-    val fpTagOnly = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+    assert(Retrieval.lastBuildInfo.mode === "full")
     Seq((8L, "kiwi")).toDF("doc_id", "text").repartition(1)
       .write.mode("append").parquet(corpusDir)
     Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
       "doc_id", "text", idxDir, sourceTag = tag, contentFingerprint = false)
-    assert(new String(java.nio.file.Files.readAllBytes(fp), "UTF-8") ===
-      fpTagOnly) // stale by contract: caller owns versioning via the tag
+    assert(Retrieval.lastBuildInfo.mode === "noop")
+    assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("kiwi"), 10)
+      .count() === 0L) // stale by contract
+  }
+
+  test("index compaction: segment count stays bounded, postings-only merge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val corpusDir = s"$base/docs.parquet"
+    val idxDir = s"$base/idx"
+    corpus.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    def build(): Unit = Retrieval.buildPostingsIndex(
+      spark.read.parquet(corpusDir), "doc_id", "text", idxDir,
+      sourceTag = corpusDir, maxSegments = 2)
+    build()
+    assert(Retrieval.lastBuildInfo.mode === "full")
+    Seq((6L, "fig fig banana")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    build()
+    assert(Retrieval.lastBuildInfo ===
+      Retrieval.IndexBuildInfo("append", 2, 1))
+    // third file would make 3 segments > maxSegments=2 → compaction:
+    // tokenizes ONLY the newest file, merges postings into one segment
+    Seq((7L, "grape fig")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    build()
+    assert(Retrieval.lastBuildInfo ===
+      Retrieval.IndexBuildInfo("compact", 1, 1))
+    val m = Retrieval.readSegmentManifest(spark, idxDir).get
+    assert(m("n_segments") === "1")
+    // compacted index serves the union exactly; stats summed correctly
+    val direct = Retrieval.bm25TopK(spark.read.parquet(corpusDir),
+        "doc_id", "text", Seq("fig", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Retrieval.bm25FromIndex(spark, idxDir,
+        Seq("fig", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed === direct)
+    // and tfidf over the compacted index matches the per-query form
+    val tDirect = Retrieval.tfidfTopTerms(spark.read.parquet(corpusDir),
+        "doc_id", "text", m = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val tIndexed = Retrieval.tfidfFromIndex(spark, idxDir, m = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(tIndexed === tDirect)
+    // a later append after compaction starts a fresh segment
+    Seq((8L, "kiwi")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    build()
+    assert(Retrieval.lastBuildInfo ===
+      Retrieval.IndexBuildInfo("append", 2, 1))
+  }
+
+  test("index append falls back to a full rebuild for non-relocatable plans") {
+    val base = java.nio.file.Files.createTempDirectory("graft_reloc")
+    val corpusDir = s"$base/docs.parquet"
+    val idxDir = s"$base/idx"
+    corpus.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    // a FILTERED source is not a bare scan: re-reading only new files
+    // could not re-apply the predicate, so the append path must refuse
+    def docs() = spark.read.parquet(corpusDir).filter(col("doc_id") =!= 4L)
+    Retrieval.buildPostingsIndex(docs(), "doc_id", "text", idxDir,
+      sourceTag = corpusDir)
+    assert(Retrieval.lastBuildInfo.mode === "full")
+    Seq((6L, "fig"), (7L, "fig")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(docs(), "doc_id", "text", idxDir,
+      sourceTag = corpusDir)
+    assert(Retrieval.lastBuildInfo.mode === "full",
+      "filtered plan must not take the relocatable append path")
+    // correctness holds either way — the filter is honored
+    assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("durian"), 10)
+      .count() === 0L)
+    assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10)
+      .count() === 2L)
+    // while a bare scan (possibly repartitioned — the registry's
+    // `balanced` shape) DOES take it
+    Seq((9L, "mango")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(
+      spark.read.parquet(corpusDir).repartition(4), "doc_id", "text",
+      s"$base/idx2", sourceTag = corpusDir)
+    assert(Retrieval.lastBuildInfo.mode === "full")
+    Seq((10L, "papaya")).toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(corpusDir)
+    Retrieval.buildPostingsIndex(
+      spark.read.parquet(corpusDir).repartition(4), "doc_id", "text",
+      s"$base/idx2", sourceTag = corpusDir)
+    assert(Retrieval.lastBuildInfo ===
+      Retrieval.IndexBuildInfo("append", 2, 1))
+    assert(Retrieval.bm25FromIndex(spark, s"$base/idx2", Seq("papaya"), 10)
+      .collect().map(_.getLong(0)).toSeq === Seq(10L))
   }
 
   /** Driver-side TF-IDF top-m. */
