@@ -54,11 +54,15 @@ object IndexAppendPhase {
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(data), true)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-    def gen(from: Long, until: Long, marker: String) =
-      spark.range(from, until).repartition(32).selectExpr(
+    // Appends land in fraction-proportional file counts (a 1% append is
+    // a couple of files, not 32 re-split slivers) so the manifest's
+    // files_tokenized accounting reads like a real ingest.
+    def gen(from: Long, until: Long, marker: String, files: Int = 32) =
+      spark.range(from, until).repartition(files).selectExpr(
         "id AS doc_id",
         s"concat('the of and to in ', '$marker', concat_ws(' ', " +
           "transform(sequence(0, 19), j -> concat('t', id, 'x', j)))) AS text")
+    val newFiles = math.max(1, (32 * frac).toInt)
     gen(0L, nDocs, "").write.mode("overwrite").parquet(data)
 
     def cell(name: String, tokenized: Long)(work: => Long): Unit = {
@@ -91,7 +95,8 @@ object IndexAppendPhase {
 
     // APPEND fraction·N docs carrying a marker stopword ('zq') that the
     // base corpus never emits — the query cell proves merge-on-read.
-    gen(nDocs, nDocs + nNew, "zq ").write.mode("append").parquet(data)
+    gen(nDocs, nDocs + nNew, "zq ", newFiles)
+      .write.mode("append").parquet(data)
     cell("append", nNew)(build())
 
     cell("query_appended_term", 0L) {
@@ -99,7 +104,7 @@ object IndexAppendPhase {
     }
 
     // Force compaction on the next append: maxSegments = current count.
-    gen(nDocs + nNew, nDocs + 2 * nNew, "zq ")
+    gen(nDocs + nNew, nDocs + 2 * nNew, "zq ", newFiles)
       .write.mode("append").parquet(data)
     cell("compact", nNew)(build(maxSegments = 2))
 
