@@ -37,6 +37,24 @@ object Cooccur {
     *        default (65536 → ≤ ~2·10^9 pairs from one doc, spread across
     *        that doc's task) is far above any curated document; it exists
     *        so an un-curated outlier degrades output, not the job.
+    * @param pinDocPartitions keep the doc-keyed exchange feeding the
+    *        self-join at the session's full `spark.sql.shuffle.partitions`
+    *        width (an explicit-count repartition — REPARTITION_BY_NUM —
+    *        which AQE never coalesces). MEASURED round 15
+    *        (`tools/CooccurSkewPhase`, 1M docs × 25 distinct terms,
+    *        interleaved same-phase A/B): AQE's coalescing sizes that
+    *        exchange by its INPUT bytes (~0.5 GB → single-digit
+    *        partition counts at the 64 MB advisory) but the stage's
+    *        work is the per-doc QUADRATIC — ×~25 row blow-up plus a
+    *        pair-sized hash aggregate — and the warm coalesced cell ran
+    *        a 31.0 s max task at 1.5 GB peak task memory vs the pinned
+    *        cell's 5.5 s / 0.4 GB, wall 56.7 vs 33.2 s (1.7×). At
+    *        cluster scale the unpinned shape is worse than slow: a
+    *        task's pair hash-aggregate grows with the coalesced
+    *        partition's doc count, the same unbounded-working-set class
+    *        the maxDocVocab guard exists for. False restores the
+    *        pre-round-15 adaptive behavior (harmless for tiny-doc
+    *        corpora, where fewer tasks are cheaper).
     * @param guard OBSERVABILITY for that cap (round-13 advice: no silent
     *        caps): pass an [[Observation]] and, after the query's action,
     *        `guard.get` carries `dropped_docs` (exact count of documents
@@ -51,14 +69,29 @@ object Cooccur {
     *         term_a < term_b, pair_df >= minPairDf, ordered by pair */
   def pmiPairs(docs: DataFrame, id: String, text: String,
       minPairDf: Long = 2L, maxDocVocab: Int = 1 << 16,
-      guard: Option[Observation] = None): DataFrame = {
-    val toks = docs
+      guard: Option[Observation] = None,
+      pinDocPartitions: Boolean = true): DataFrame = {
+    val toksPlain = docs
       .select(col(id).as("__doc"),
         explode(array_distinct(split(col(text), " "))).as("term"))
+    // Explicit-count repartition (REPARTITION_BY_NUM — exempt from AQE
+    // coalescing) on the doc key: the window and the self-join both
+    // reuse this one exchange, so the quadratic stage runs at the
+    // session's full shuffle width instead of the input-byte-sized
+    // partition count AQE would coalesce it to (see the param scaladoc
+    // for the measured 8-task straggler this prevents).
+    val toks =
+      if (pinDocPartitions) toksPlain.repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__doc"))
+      else toksPlain
 
     val n = docs.select(col(id)).agg(count(lit(1)).cast("long").as("__n"))
 
-    val dfT = toks.groupBy(col("term"))
+    // df rides the PLAIN token stream: its term aggregate map-side
+    // combines straight off the scan; routing it through the pinned doc
+    // exchange would serialize it behind a shuffle it never needed.
+    val dfT = toksPlain.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
 
     // Vocab guard: a count window partitioned by doc reuses the

@@ -122,4 +122,27 @@ class CooccurSpec extends SparkSpecBase {
           r.getLong(4), r.getDouble(5))).toSet
     assert(run(df.repartition(1)) === run(df.repartition(7)))
   }
+
+  test("pinned doc exchange: AQE-exempt repartition, value-identical") {
+    // The round-15 CooccurSkewPhase finding: AQE coalesced the doc-keyed
+    // exchange by INPUT bytes, blind to the per-doc quadratic inside the
+    // stage. The default pins it via an explicit-count repartition —
+    // REPARTITION_BY_NUM in the plan, the origin AQE never coalesces —
+    // and the two routes must be row-identical.
+    val df = corpus.toDF("doc_id", "text")
+    def rows(pin: Boolean) =
+      Cooccur.pmiPairs(df, "doc_id", "text", minPairDf = 1L,
+          pinDocPartitions = pin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+    assert(rows(pin = true) === rows(pin = false))
+    val pinned = Cooccur.pmiPairs(df, "doc_id", "text", minPairDf = 1L)
+    assert(pinned.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_NUM"))
+    val unpinned = Cooccur.pmiPairs(df, "doc_id", "text", minPairDf = 1L,
+      pinDocPartitions = false)
+    assert(!unpinned.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_NUM"))
+  }
 }
