@@ -730,15 +730,21 @@ object Retrieval {
     * files stay term-clustered — every file still carries a tight term
     * min/max, so the query's IN pushdown prunes exactly as before (a
     * term spanning k files reads k row groups, which is the point). */
-  private def postingsFor(docs: DataFrame, id: String,
+  private def postingsRows(docs: DataFrame, id: String,
       text: String): DataFrame =
     docs.select(col(id).as("doc"), tokens(col(text)).as("__toks"))
       .select(col("doc"), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .repartitionByRange(col("term"), col("doc"))
+
+  private def postingsLayout(rows: DataFrame): DataFrame =
+    rows.repartitionByRange(col("term"), col("doc"))
       .sortWithinPartitions(col("term"), col("doc"))
+
+  private def postingsFor(docs: DataFrame, id: String,
+      text: String): DataFrame =
+    postingsLayout(postingsRows(docs, id, text))
 
   private def statsFor(docs: DataFrame, text: String): DataFrame =
     docs.select(size(tokens(col(text))).cast("long").as("dl"))
@@ -827,8 +833,8 @@ object Retrieval {
     val config = graft.catalog.Catalog.configFingerprint(Map(
       "source" -> sourceTag, "id" -> id, "text" -> text,
       "version" -> "3", "content_mode" -> contentMode.toString))
-    val prev = readSegmentManifest(spark, indexPath)
-      .filter(_.get("config").contains(config))
+    val anyPrev = readSegmentManifest(spark, indexPath)
+    val prev = anyPrev.filter(_.get("config").contains(config))
 
     def segDirName(n: Long): String = f"seg_$n%05d"
 
@@ -866,9 +872,18 @@ object Retrieval {
     }
 
     def fullRebuild(): Unit = {
-      val dir = segDirName(0L)
+      // Always a FRESH directory number (continue any previous
+      // manifest's counter, config-matched or not): rebuilding INTO a
+      // directory the live manifest still references would let a crash
+      // between the segment write and the manifest rename serve mixed
+      // old/new postings. With fresh names, readers keep the old
+      // complete index until the atomic manifest swap, and a crash
+      // leaves only an orphan for the next commit's sweep.
+      val next = anyPrev.flatMap(_.get("next_seg"))
+        .map(_.toLong).getOrElse(0L)
+      val dir = segDirName(next)
       writeSegment(dir, docs)
-      commitManifest(Seq(IndexSegment(dir, listing)), 1L)
+      commitManifest(Seq(IndexSegment(dir, listing)), next + 1L)
       lastBuildInfo = IndexBuildInfo("full", 1,
         math.max(listing.size, 1))
     }
@@ -900,10 +915,11 @@ object Retrieval {
                 val dir = segDirName(m("next_seg").toLong)
                 val oldPostings = spark.read.parquet(
                   segs.map(s => s"$indexPath/${s.dir}/postings"): _*)
-                val merged = oldPostings
-                  .unionByName(postingsFor(newDocs, id, text))
-                  .repartitionByRange(col("term"), col("doc"))
-                  .sortWithinPartitions(col("term"), col("doc"))
+                // un-laid-out rows for the new docs: the ONE layout
+                // shuffle below covers old and new together (laying out
+                // the new segment first would shuffle its rows twice)
+                val merged = postingsLayout(
+                  oldPostings.unionByName(postingsRows(newDocs, id, text)))
                 merged.write.mode("overwrite")
                   .parquet(s"$indexPath/$dir/postings")
                 spark.read.parquet(

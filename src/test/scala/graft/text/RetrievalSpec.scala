@@ -174,6 +174,11 @@ class RetrievalSpec extends SparkSpecBase {
     Retrieval.buildPostingsIndex(spark.read.parquet(corpusDir),
       "doc_id", "text", idxDir, sourceTag = tag)
     assert(Retrieval.lastBuildInfo.mode === "full")
+    // crash safety: the rebuild landed in a FRESH directory (the old
+    // manifest referenced seg_00000/seg_00001 — overwriting either
+    // would let a crash before the manifest rename serve mixed data)
+    assert(Retrieval.readSegmentManifest(spark, idxDir).get
+      .apply("seg.0.dir") === "seg_00002")
     assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("cherry"), 10)
       .collect().map(_.getLong(0)).toSeq === Seq(4L)) // doc 2 gone
     // contentFingerprint=false restores the pure tag contract: the first
