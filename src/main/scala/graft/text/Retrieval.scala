@@ -643,10 +643,14 @@ object Retrieval {
     *     both consumers aggregate, so union order is immaterial). Before
     *     v3 this was the one remaining asymptotic gap at 100 TB:
     *     appending 0.1% of a corpus re-tokenized 100% of it.
-    *   - segment count crossing `maxSegments` → COMPACT: merge all
-    *     POSTINGS (a shuffle+rewrite of already-aggregated rows — never
-    *     a re-tokenize) into one segment, keeping per-query read fan-out
-    *     and manifest size bounded;
+    *   - segment count crossing `maxSegments` → TIERED COMPACTION:
+    *     merge the fewest, smallest segments (by covered source bytes)
+    *     with the new docs — a shuffle+rewrite of already-aggregated
+    *     POSTINGS rows, never a re-tokenize, and large segments are
+    *     never rewritten by an append (a row ascends the size tiers
+    *     O(log N) times over its lifetime — the Lucene logarithmic-merge
+    *     contract), keeping per-query read fan-out and manifest size
+    *     bounded;
     *   - any modified/removed file, a non-relocatable docs plan
     *     (filters/joins above the scan), or a changed
     *     tag/columns/version → full rebuild, the always-correct path.
@@ -815,9 +819,13 @@ object Retrieval {
     *        without content change, e.g. object stores that rewrite
     *        metadata — the caller then owns versioning via the tag).
     * @param maxSegments compaction threshold: an append that would push
-    *        the segment count past this merges all postings into one
-    *        segment instead — a POSTINGS-only shuffle+rewrite (never a
-    *        re-tokenize), the Lucene merge contract. */
+    *        the segment count past this instead merges the smallest
+    *        segments with the new docs until the count fits — a
+    *        POSTINGS-only shuffle+rewrite of the merged TIER (never a
+    *        re-tokenize, never the large segments), the Lucene
+    *        logarithmic-merge contract. Values near the minimum (2–3)
+    *        degrade to rewriting one growing pile per append; the
+    *        default 8 keeps amortized rewrite cost logarithmic. */
   def buildPostingsIndex(docs: DataFrame, id: String, text: String,
       indexPath: String, sourceTag: String,
       contentFingerprint: Boolean = true, maxSegments: Int = 8): Unit = {
@@ -908,29 +916,45 @@ object Retrieval {
             relocatableScan(docs, appended.map(_.path), id, text) match {
               case None => fullRebuild() // non-relocatable plan: correct, just not incremental
               case Some(newDocs) if segs.size + 1 > maxSegments =>
-                // COMPACT: tokenize only the appended files, then merge
-                // every segment's POSTINGS (order-insensitive rows; a
-                // shuffle+rewrite of already-aggregated postings, never
-                // a re-tokenize) into one fresh segment.
+                // TIERED COMPACTION (the Lucene logarithmic-merge policy,
+                // simplified): merge the FEWEST, SMALLEST existing
+                // segments (by covered source bytes — the manifest
+                // already records every file's length) together with the
+                // new docs, so that the result respects `maxSegments` —
+                // large segments are never rewritten by an append. The
+                // first cut of v3 merged EVERYTHING here, which made
+                // every `maxSegments`-th 0.1% append rewrite 100% of the
+                // postings — the same asymptotic gap compaction was
+                // supposed to close, one level up. Merge inputs are
+                // already-aggregated POSTINGS (never a re-tokenize), laid
+                // out in ONE shuffle together with the new docs' rows.
+                // Repeated small appends therefore rewrite a given row
+                // O(log N) times as it ascends the tiers, and a segment
+                // only joins a merge when it is among the smallest.
                 val dir = segDirName(m("next_seg").toLong)
-                val oldPostings = spark.read.parquet(
-                  segs.map(s => s"$indexPath/${s.dir}/postings"): _*)
-                // un-laid-out rows for the new docs: the ONE layout
-                // shuffle below covers old and new together (laying out
-                // the new segment first would shuffle its rows twice)
+                val nVictims = segs.size + 1 - maxSegments
+                val (victims, survivors) = {
+                  val bySize = segs.sortBy(_.files.map(_.len).sum)
+                  (bySize.take(nVictims), bySize.drop(nVictims))
+                }
                 val merged = postingsLayout(
-                  oldPostings.unionByName(postingsRows(newDocs, id, text)))
+                  spark.read.parquet(
+                      victims.map(s => s"$indexPath/${s.dir}/postings"): _*)
+                    .unionByName(postingsRows(newDocs, id, text)))
                 merged.write.mode("overwrite")
                   .parquet(s"$indexPath/$dir/postings")
                 spark.read.parquet(
-                    segs.map(s => s"$indexPath/${s.dir}/stats"): _*)
+                    victims.map(s => s"$indexPath/${s.dir}/stats"): _*)
                   .unionByName(statsFor(newDocs, text))
                   .agg(sum(col("n")).cast("long").as("n"),
                     sum(col("sumdl")).cast("long").as("sumdl"))
                   .write.mode("overwrite").parquet(s"$indexPath/$dir/stats")
-                commitManifest(Seq(IndexSegment(dir, listing)),
+                val mergedSeg = IndexSegment(dir,
+                  victims.flatMap(_.files) ++ appended)
+                commitManifest(survivors :+ mergedSeg,
                   m("next_seg").toLong + 1L)
-                lastBuildInfo = IndexBuildInfo("compact", 1, appended.size)
+                lastBuildInfo = IndexBuildInfo("compact",
+                  survivors.size + 1, appended.size)
               case Some(newDocs) =>
                 val dir = segDirName(m("next_seg").toLong)
                 writeSegment(dir, newDocs)

@@ -21,9 +21,11 @@ import graft.text.Retrieval
   *   - `query`    — a bm25FromIndex hit on a term that exists only in
   *                  the appended docs (merge-on-read serves fresh rows);
   *   - `compact`  — one more append with maxSegments forcing compaction:
-  *                  a POSTINGS-only merge (tokenizes only the newest
-  *                  files; the wall is the bounded merge cost, amortized
-  *                  over maxSegments appends).
+  *                  a TIERED postings-only merge (tokenizes only the
+  *                  newest files; merges only the SMALLEST segments —
+  *                  here the two 1%-appends — while the 4M-doc base
+  *                  segment is never rewritten, so the wall is the
+  *                  merged-tier cost, not the corpus).
   *
   * Each cell reports wall, mode, files_tokenized, segments, GC, and
   * shuffle bytes. The SkewPhase synthetic corpus shape (5 corpus-wide

@@ -198,31 +198,44 @@ class RetrievalSpec extends SparkSpecBase {
       .count() === 0L) // stale by contract
   }
 
-  test("index compaction: segment count stays bounded, postings-only merge") {
+  test("tiered compaction: small segments merge, large ones are never rewritten") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact")
     val corpusDir = s"$base/docs.parquet"
     val idxDir = s"$base/idx"
-    corpus.toDF("doc_id", "text").repartition(1)
+    // Tiering sizes segments by covered source BYTES (the Lucene proxy —
+    // proportional to content at real scale); at toy scale parquet
+    // per-file overhead can invert it, so the base segment here carries
+    // enough filler docs that its file dominates any 1-doc append.
+    val fillers = (100L to 300L).map(i =>
+      (i, s"fill$i " + (1 to 8).map(j => s"w${i}_$j").mkString(" ")))
+    (corpus ++ fillers).toDF("doc_id", "text").repartition(1)
       .write.mode("overwrite").parquet(corpusDir)
     def build(): Unit = Retrieval.buildPostingsIndex(
       spark.read.parquet(corpusDir), "doc_id", "text", idxDir,
       sourceTag = corpusDir, maxSegments = 2)
+    def manifest() = Retrieval.readSegmentManifest(spark, idxDir).get
     build()
     assert(Retrieval.lastBuildInfo.mode === "full")
+    val bigDir = manifest()("seg.0.dir") // the 5-doc base segment
     Seq((6L, "fig fig banana")).toDF("doc_id", "text").repartition(1)
       .write.mode("append").parquet(corpusDir)
     build()
     assert(Retrieval.lastBuildInfo ===
       Retrieval.IndexBuildInfo("append", 2, 1))
-    // third file would make 3 segments > maxSegments=2 → compaction:
-    // tokenizes ONLY the newest file, merges postings into one segment
+    // a third file would exceed maxSegments=2 → TIERED compaction: the
+    // smallest existing segment (the 1-doc fig append) merges with the
+    // new docs; the big base segment is untouched. Tokenizes ONLY the
+    // newest file; result stays at 2 segments.
     Seq((7L, "grape fig")).toDF("doc_id", "text").repartition(1)
       .write.mode("append").parquet(corpusDir)
     build()
     assert(Retrieval.lastBuildInfo ===
-      Retrieval.IndexBuildInfo("compact", 1, 1))
-    val m = Retrieval.readSegmentManifest(spark, idxDir).get
-    assert(m("n_segments") === "1")
+      Retrieval.IndexBuildInfo("compact", 2, 1))
+    val m1 = manifest()
+    assert(m1("n_segments") === "2")
+    val dirsAfter = Seq(m1("seg.0.dir"), m1("seg.1.dir"))
+    assert(dirsAfter.contains(bigDir),
+      "the large segment must survive compaction un-rewritten")
     // compacted index serves the union exactly; stats summed correctly
     val direct = Retrieval.bm25TopK(spark.read.parquet(corpusDir),
         "doc_id", "text", Seq("fig", "banana"), 10)
@@ -242,12 +255,18 @@ class RetrievalSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(tIndexed === tDirect)
-    // a later append after compaction starts a fresh segment
-    Seq((8L, "kiwi")).toDF("doc_id", "text").repartition(1)
+    // repeated appends keep merging into the SMALL tier; the big
+    // segment's directory persists through every compaction
+    Seq((8L, "kiwi fig")).toDF("doc_id", "text").repartition(1)
       .write.mode("append").parquet(corpusDir)
     build()
     assert(Retrieval.lastBuildInfo ===
-      Retrieval.IndexBuildInfo("append", 2, 1))
+      Retrieval.IndexBuildInfo("compact", 2, 1))
+    val m2 = manifest()
+    assert(Seq(m2("seg.0.dir"), m2("seg.1.dir")).contains(bigDir))
+    // all three appended docs serve
+    assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10)
+      .collect().map(_.getLong(0)).toSet === Set(6L, 7L, 8L))
   }
 
   test("index append falls back to a full rebuild for non-relocatable plans") {
