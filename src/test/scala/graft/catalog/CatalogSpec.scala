@@ -65,6 +65,29 @@ class CatalogSpec extends SparkSpecBase {
     assert(!new java.io.File(dir, "_manifest.json.tmp").exists())
   }
 
+  test("writeKvFile/readKvFile: control-char and unicode values round-trip") {
+    // The Retrieval segment manifest encodes file lists with \u0001 field
+    // and \n record separators INSIDE one value — the escape path must
+    // carry control chars, quotes, backslashes, and non-ASCII exactly.
+    val dir = Files.createTempDirectory("graft_kv").toString
+    val path = s"$dir/_segments.json"
+    val kv = Map(
+      "files" -> ("file:/a b/part-0.parquet\u00011234\u00015678\n" +
+        "file:/c\u00019\u00012"),
+      "quote" -> """he said "hi" \ bye""",
+      "unicode" -> "täst-ünïcode-€",
+      "empty" -> "")
+    Catalog.writeKvFile(spark, path, kv)
+    assert(Catalog.readKvFile(spark, path) === Some(kv))
+    assert(!new java.io.File(path + ".tmp").exists())
+    // missing -> None; malformed -> loud (never silently absent)
+    assert(Catalog.readKvFile(spark, s"$dir/absent.json") === None)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/torn.json"),
+      """{"files":"part""".getBytes("UTF-8"))
+    intercept[java.io.IOException](
+      Catalog.readKvFile(spark, s"$dir/torn.json"))
+  }
+
   test("readManifest: missing -> empty; malformed (truncated) -> loud failure") {
     val dir = Files.createTempDirectory("graft_manifest2").toString + "/ds"
     val df = Seq((1L, "x")).toDF("id", "v")
