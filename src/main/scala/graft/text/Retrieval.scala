@@ -968,6 +968,27 @@ object Retrieval {
     }
   }
 
+  /** Operability surface for a [[buildPostingsIndex]] index: one row per
+    * segment — directory, covered source-file count and bytes, and the
+    * segment's (docs, tokens) from its stats row — plus the manifest's
+    * config fingerprint on every row. The 100 TB operator's "what is in
+    * my index / how lopsided are my tiers" question, answered from the
+    * manifest and k one-row stats reads (never a postings scan). Errors
+    * loudly on a path with no v3 manifest. */
+  def indexStatus(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val m = readSegmentManifest(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"no postings-index manifest at $indexPath"))
+    decodeSegments(m).map { seg =>
+      val st = spark.read.parquet(s"$indexPath/${seg.dir}/stats").collect()(0)
+      (seg.dir, seg.files.size.toLong, seg.files.map(_.len).sum,
+        st.getLong(st.fieldIndex("n")), st.getLong(st.fieldIndex("sumdl")),
+        m("config"))
+    }.toDF("segment", "n_files", "source_bytes", "n_docs", "n_tokens",
+      "config")
+  }
+
   /** Postings + corpus stats of a [[buildPostingsIndex]] index: the
     * union of every manifest segment's postings (rows are disjoint —
     * each document lives in exactly one segment — and both consumers

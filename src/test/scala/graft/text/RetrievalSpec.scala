@@ -267,6 +267,15 @@ class RetrievalSpec extends SparkSpecBase {
     // all three appended docs serve
     assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10)
       .collect().map(_.getLong(0)).toSet === Set(6L, 7L, 8L))
+    // operability surface: per-segment doc counts sum to the corpus and
+    // the big tier is visibly the big tier
+    val status = Retrieval.indexStatus(spark, idxDir)
+      .orderBy(col("n_docs").desc).collect()
+    assert(status.length === 2)
+    assert(status.map(_.getAs[Long]("n_docs")).sum === 209L) // 5+201+3
+    assert(status(0).getAs[String]("segment") === bigDir)
+    assert(status(1).getAs[Long]("n_docs") === 3L)
+    assert(status.forall(_.getAs[Long]("n_files") > 0L))
   }
 
   test("index append falls back to a full rebuild for non-relocatable plans") {
