@@ -644,8 +644,8 @@ object Retrieval {
     *     v3 this was the one remaining asymptotic gap at 100 TB:
     *     appending 0.1% of a corpus re-tokenized 100% of it.
     *   - segment count crossing `maxSegments` → TIERED COMPACTION:
-    *     merge the fewest, smallest segments (by covered source bytes)
-    *     with the new docs — a shuffle+rewrite of already-aggregated
+    *     merge the fewest, smallest segments (by token count from the
+    *     per-segment stats — the postings-size proxy) with the new docs — a shuffle+rewrite of already-aggregated
     *     POSTINGS rows, never a re-tokenize, and large segments are
     *     never rewritten by an append (a row ascends the size tiers
     *     O(log N) times over its lifetime — the Lucene logarithmic-merge
@@ -934,7 +934,17 @@ object Retrieval {
                 val dir = segDirName(m("next_seg").toLong)
                 val nVictims = segs.size + 1 - maxSegments
                 val (victims, survivors) = {
-                  val bySize = segs.sortBy(_.files.map(_.len).sum)
+                  // Tier by the segment's TOKEN count (sumdl from its
+                  // one-row stats — k tiny reads per compaction): the
+                  // true postings-size proxy. The first cut tiered by
+                  // covered source bytes, which parquet per-file
+                  // overhead inverts on small-file corpora — exactly
+                  // the append-heavy shape compaction serves.
+                  val bySize = segs.sortBy { s =>
+                    val st = spark.read
+                      .parquet(s"$indexPath/${s.dir}/stats").collect()(0)
+                    st.getLong(st.fieldIndex("sumdl"))
+                  }
                   (bySize.take(nVictims), bySize.drop(nVictims))
                 }
                 val merged = postingsLayout(

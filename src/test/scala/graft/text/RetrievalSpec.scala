@@ -202,10 +202,8 @@ class RetrievalSpec extends SparkSpecBase {
     val base = java.nio.file.Files.createTempDirectory("graft_compact")
     val corpusDir = s"$base/docs.parquet"
     val idxDir = s"$base/idx"
-    // Tiering sizes segments by covered source BYTES (the Lucene proxy —
-    // proportional to content at real scale); at toy scale parquet
-    // per-file overhead can invert it, so the base segment here carries
-    // enough filler docs that its file dominates any 1-doc append.
+    // Filler docs make the base segment unambiguously the large tier
+    // (tiering reads each segment's token count from its stats row).
     val fillers = (100L to 300L).map(i =>
       (i, s"fill$i " + (1 to 8).map(j => s"w${i}_$j").mkString(" ")))
     (corpus ++ fillers).toDF("doc_id", "text").repartition(1)
