@@ -113,6 +113,35 @@ object IndexAppendPhase {
     cell("query_after_compact", 0L) {
       Retrieval.bm25FromIndex(spark, idx, Seq("zq"), 10).count()
     }
+
+    // Optional AMORTIZED ladder (third arg = number of further appends,
+    // default 0 = off): sequential 1%-appends against the DEFAULT
+    // maxSegments=8 policy on a fresh index. Appends below the segment
+    // cap are pure (tokenize one file, write one segment); each one past
+    // it additionally pays a small-tier merge — the artifact shows the
+    // per-append wall staying flat and never approaching the full-build
+    // cost, the logarithmic-merge contract over a whole lifecycle.
+    val steps = args.lift(2).map(_.toInt).getOrElse(0)
+    if (steps > 0) {
+      val idx2 = s"${idx}_ladder"
+      fs.delete(new org.apache.hadoop.fs.Path(idx2), true)
+      def build2(): Long = {
+        Retrieval.buildPostingsIndex(spark.read.parquet(data), "doc_id",
+          "text", idx2, sourceTag = s"$data#ladder")
+        0L
+      }
+      cell("ladder_full", nDocs + 2 * nNew)(build2())
+      var from = nDocs + 2 * nNew
+      for (stp <- 1 to steps) {
+        gen(from, from + nNew, "zq ", newFiles)
+          .write.mode("append").parquet(data)
+        from += nNew
+        cell(s"ladder_append_$stp", nNew)(build2())
+      }
+      cell("ladder_query", 0L) {
+        Retrieval.bm25FromIndex(spark, idx2, Seq("zq"), 10).count()
+      }
+    }
     spark.stop()
   }
 }
