@@ -279,10 +279,26 @@ object Retrieval {
       census(s.select(col("term")), fraction)
     }
 
+  /** Content signature of a DataFrame's file-backed sources: a hash of
+    * the (path, len, mtime) listing (one driver-side `listStatus` per
+    * parent directory, see [[fileListing]]). Catalyst's `sameResult`
+    * compares file scans by RELATION identity (`InMemoryFileIndex`
+    * equality is rootPaths-based), so a re-read of the same path after an
+    * in-place append/overwrite sameResult-matches a plan captured over
+    * DIFFERENT bytes — plan identity is not data identity for file
+    * sources. Every memo keyed on a plan must therefore also compare this
+    * signature on hit and invalidate on mismatch. Constant 0 for
+    * in-memory sources, whose data IS part of the plan. */
+  private def contentSig(df: DataFrame): Long = {
+    val files = fileListing(df)
+    if (files.isEmpty) 0L else files.hashCode.toLong
+  }
+
   private case class CensusKey(sessionId: Int, planHash: Int, tag: String,
                                fraction: Double)
   private case class CensusEntry(plan: org.apache.spark.sql.catalyst.plans
                                        .logical.LogicalPlan,
+                                 sig: Long,
                                  est: (Long, Long))
   private val censusCache =
     scala.collection.mutable.LinkedHashMap.empty[CensusKey, CensusEntry]
@@ -294,26 +310,34 @@ object Retrieval {
 
   /** Drop the memoized census decisions (driver-side only — censuses hold
     * no executor storage). Pipeline-boundary hook, [[clearDfCache]]'s
-    * sibling; correctness never needs it (a stale entry can only exist
-    * for a source plan that `sameResult`-matches the caller's). */
+    * sibling. Not needed for correctness of the routed QUERIES (both
+    * routes are value-identical) nor after in-place corpus changes (a hit
+    * also compares the source files' [[contentSig]] and re-censuses on
+    * mismatch); it remains for callers who want the memo's driver memory
+    * back. */
   def clearCensusCache(): Unit =
     censusCache.synchronized(censusCache.clear())
 
   /** Memoize a census result on (session, source plan, column tag,
     * fraction) — the pair-cache identity convention (`sameResult` against
-    * the cached analyzed plan, never hash equality alone). The census is
-    * a sampled 1-row aggregate (~1% of one token pass), but a pipeline
-    * calling TF-IDF repeatedly on one corpus would otherwise pay it per
-    * CONSTRUCTION (it is an eager job); same-session repeats now pay it
-    * once. Bounded LRU; entries are two longs, eviction is free. */
+    * the cached analyzed plan, never hash equality alone), PLUS the
+    * source files' [[contentSig]] compared on every hit: `sameResult`
+    * alone matched a re-read of the same path after an in-place
+    * append/overwrite, serving a route decision from stale maxDf/vocab
+    * estimates. The census is a sampled 1-row aggregate (~1% of one token
+    * pass), but a pipeline calling TF-IDF repeatedly on one corpus would
+    * otherwise pay it per CONSTRUCTION (it is an eager job); same-session
+    * repeats now pay it once. Bounded LRU; entries are two longs,
+    * eviction is free. */
   private def cachedCensus(src: DataFrame, tag: String, fraction: Double)(
       compute: => (Long, Long)): (Long, Long) = {
     val plan = src.queryExecution.analyzed
+    val sig = contentSig(src)
     val key = CensusKey(System.identityHashCode(src.sparkSession),
       plan.semanticHash(), tag, fraction)
     val hit = censusCache.synchronized {
       censusCache.get(key) match {
-        case Some(e) if e.plan.sameResult(plan) =>
+        case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
           censusCache.remove(key); censusCache.put(key, e) // LRU touch
           Some(e.est)
         case _ => None
@@ -323,9 +347,9 @@ object Retrieval {
       val est = compute // outside the lock: a real aggregation job
       censusCache.synchronized {
         censusCache.get(key) match {
-          case Some(e) if e.plan.sameResult(plan) => e.est
+          case Some(e) if e.plan.sameResult(plan) && e.sig == sig => e.est
           case _ =>
-            censusCache.put(key, CensusEntry(plan, est))
+            censusCache.put(key, CensusEntry(plan, sig, est))
             if (censusCache.size > censusCacheCap)
               censusCache.remove(censusCache.head._1)
             est
@@ -375,6 +399,7 @@ object Retrieval {
   private case class DfKey(sessionId: Int, planHash: Int, hotH: Int)
   private case class DfEntry(plan: org.apache.spark.sql.catalyst.plans
                                    .logical.LogicalPlan,
+                             sig: Long,
                              dft: DataFrame,
                              hotRows: Array[org.apache.spark.sql.Row])
 
@@ -422,11 +447,14 @@ object Retrieval {
     * passes; the first SkewPhase cut of this route paid a full extra
     * token exchange re-deriving it). Since round 15 that persist is
     * MANAGED, not documented away: entries live in a bounded LRU keyed
-    * on (session, tf plan, H) — the `cosineNearDupPairsCached`
-    * precedent — so a library caller composing many hot-routed queries
-    * accumulates at most [[dfCacheCap]] vocabulary-sized entries, with
-    * evictions unpersisting; repeat calls on the same tf plan also reuse
-    * the already-collected heavy-hitter rows (no second close job). The
+    * on (session, tf plan, H) and validated against the source files'
+    * [[contentSig]] on every hit (round 16: `sameResult` alone matched a
+    * re-read after an in-place corpus change, serving stale hotRows/dft
+    * against the fresh tf) — the `cosineNearDupPairsCached` precedent —
+    * so a library caller composing many hot-routed queries accumulates
+    * at most [[dfCacheCap]] vocabulary-sized entries, with evictions
+    * unpersisting; repeat calls on the same tf plan also reuse the
+    * already-collected heavy-hitter rows (no second close job). The
     * plain route (and the auto route when it decides plain) persists
     * nothing. */
   private def dfJoinRouted(tf: DataFrame, hotH: Int): DataFrame = {
@@ -435,11 +463,18 @@ object Retrieval {
     if (hotH <= 0) tf.join(dftPlain, "term")
     else {
       val plan = tf.queryExecution.analyzed
+      // data identity, not just plan identity: a hit whose source files
+      // changed in place (append/overwrite under the same path) would
+      // otherwise join the FRESH tf against the STALE collected hotRows
+      // and the STALE persisted dft — new terms silently dropped by the
+      // inner join and df values wrong (sameResult is rootPaths-based
+      // for file scans; see contentSig)
+      val sig = contentSig(tf)
       val key = DfKey(System.identityHashCode(tf.sparkSession),
         plan.semanticHash(), hotH)
       val hit = dfCache.synchronized {
         dfCache.get(key) match {
-          case Some(e) if e.plan.sameResult(plan) =>
+          case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
             dfCache.remove(key); dfCache.put(key, e) // LRU touch
             Some(e)
           case _ => None
@@ -467,11 +502,14 @@ object Retrieval {
             .limit(hotH).collect()
           dfCache.synchronized {
             dfCache.get(key) match {
-              case Some(e) if e.plan.sameResult(plan) =>
+              case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
                 safeUnpersist(dft)
                 e
               case _ =>
-                val e = DfEntry(plan, dft, hotRows)
+                // a same-key entry that failed the sig check is stale:
+                // replace it and release its storage
+                dfCache.remove(key).foreach(old => safeUnpersist(old.dft))
+                val e = DfEntry(plan, sig, dft, hotRows)
                 dfCache.put(key, e)
                 if (dfCache.size > dfCacheCap) {
                   val (k0, e0) = dfCache.head
@@ -665,7 +703,13 @@ object Retrieval {
     * written BEFORE the manifest rename, so readers see the old complete
     * index until the new one is complete; directories no longer
     * referenced (orphans of a crashed build, compacted-away segments,
-    * the legacy v2 tables) are swept after each successful commit.
+    * the legacy v2 tables) are swept with a ONE-GENERATION deferral
+    * (Lucene's deletion policy): a commit deletes only directories that
+    * neither its own manifest nor the manifest it replaced references,
+    * so any reader obtained under the previous manifest stays servable
+    * through one subsequent commit. Writers are SINGLE-WRITER per
+    * `indexPath` — concurrent builds are a loud error via `_build.lock`
+    * (see `withBuildLock`).
     */
   /** One source file's identity in the segment manifest. */
   private[text] case class IndexFile(path: String, len: Long, mtime: Long)
@@ -691,36 +735,141 @@ object Retrieval {
       indexPath: String): Option[Map[String, String]] =
     graft.catalog.Catalog.readKvFile(spark, s"$indexPath/_segments.json")
 
-  // Control-char field separator: source paths may legally contain
-  // spaces (and nearly anything else printable); \u0001 and \n survive
-  // the KV file's escape round trip and cannot appear in a path.
+  // Control-char field separator between the (path, len, mtime) fields
+  // of one entry; '\n' separates entries. POSIX permits BOTH characters
+  // in a filename, so the path field is backslash-ESCAPED before framing
+  // (a raw embedded separator corrupted the framing and the next build
+  // threw from `toLong` -- loud, but a legal path must round-trip, not
+  // throw). Escapes: "\\\\" for backslash, newline -> "\\n",
+  // \u0001 -> "\\s".
   private val FieldSep = "\u0001"
+  private val SepChar = '\u0001'
 
-  private def encodeFiles(files: Seq[IndexFile]): String =
-    files.map(f => s"${f.path}$FieldSep${f.len}$FieldSep${f.mtime}")
+  private[text] def escapePath(p: String): String =
+    if (p.indexOf('\\') < 0 && p.indexOf('\n') < 0 && p.indexOf(SepChar) < 0) p
+    else {
+      val sb = new StringBuilder(p.length + 8)
+      p.foreach {
+        case '\\' => sb.append('\\').append('\\')
+        case '\n' => sb.append('\\').append('n')
+        case SepChar => sb.append('\\').append('s')
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+  private[text] def unescapePath(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) throw new java.io.IOException(
+            s"corrupt manifest path entry (dangling escape): $s")
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 'n' => sb.append('\n')
+            case 's' => sb.append(SepChar)
+            case other => throw new java.io.IOException(
+              s"corrupt manifest path entry (unknown escape \\$other): $s")
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  private[text] def encodeFiles(files: Seq[IndexFile]): String =
+    files.map(f => s"${escapePath(f.path)}$FieldSep${f.len}$FieldSep${f.mtime}")
       .mkString("\n")
 
-  private def decodeFiles(s: String): Seq[IndexFile] =
+  private[text] def decodeFiles(s: String): Seq[IndexFile] =
     if (s.isEmpty) Nil
     else s.split('\n').toSeq.map { line =>
       val parts = line.split(FieldSep)
-      IndexFile(parts(0), parts(1).toLong, parts(2).toLong)
+      IndexFile(unescapePath(parts(0)), parts(1).toLong, parts(2).toLong)
+    }
+
+  /** Threshold above which a segment's file-entry blob is stored
+    * gzip+Base64 in the manifest: the manifest otherwise grows linearly
+    * with source-file count (~10 MB of JSON at 100k files -- but paths
+    * share long prefixes, so gzip crushes it ~10x, keeping every
+    * manifest read and atomic rename small). Tiny listings stay
+    * human-readable plain text. */
+  private[text] val PackFilesThreshold = 1024
+
+  private[text] def packFiles(files: Seq[IndexFile]): String = {
+    val raw = encodeFiles(files)
+    // also force-pack a raw blob that would collide with the marker
+    if (raw.length < PackFilesThreshold && !raw.startsWith("gz:")) raw
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      try gz.write(raw.getBytes("UTF-8")) finally gz.close()
+      "gz:" + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+  }
+
+  private[text] def unpackFiles(s: String): Seq[IndexFile] =
+    if (!s.startsWith("gz:")) decodeFiles(s)
+    else {
+      // loud-on-corrupt: Base64/gzip failures throw, they never read as
+      // an empty listing (the readKvFile contract, one layer down)
+      val bytes = java.util.Base64.getDecoder.decode(s.substring(3))
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      decodeFiles(raw)
     }
 
   private def decodeSegments(m: Map[String, String]): Seq[IndexSegment] =
     (0 until m("n_segments").toInt).map { i =>
-      IndexSegment(m(s"seg.$i.dir"), decodeFiles(m(s"seg.$i.files")))
+      IndexSegment(m(s"seg.$i.dir"), unpackFiles(m(s"seg.$i.files")))
     }
 
+  /** Number of directory `listStatus` calls [[fileListing]] has issued in
+    * this JVM — the spec's accounting hook for the batched-listing
+    * contract (one listing per parent DIRECTORY, not one RPC per file:
+    * at the 100 TB design point a corpus is 10⁵–10⁶ files and the
+    * per-file `getFileStatus` first cut made the listing itself the
+    * append-path bottleneck). */
+  private[text] val listingCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Sorted (path, length, mtime) listing of a DataFrame's file-backed
-    * sources — a driver-side FS listing, no data pass. Empty for
-    * in-memory sources. */
+    * sources — a driver-side FS listing, no data pass; ONE `listStatus`
+    * per distinct parent directory (see [[listingCalls]]). Empty for
+    * in-memory sources. A source file that vanished between the scan's
+    * own listing and this call fails loudly (the old per-file
+    * `getFileStatus` semantics). */
   private[text] def fileListing(docs: DataFrame): Seq[IndexFile] = {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-    docs.inputFiles.sorted.toSeq.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      IndexFile(f, st.getLen, st.getModificationTime)
+    val files = docs.inputFiles.toSeq
+    if (files.isEmpty) Nil
+    else {
+      val byParent = files.groupBy(f =>
+        new org.apache.hadoop.fs.Path(f).getParent)
+      val statuses: Map[String, (Long, Long)] = byParent.flatMap {
+        case (parent, children) =>
+          listingCalls.incrementAndGet()
+          // keyed by file NAME within this parent: the manifest keeps the
+          // scan's own path string (listStatus may render the scheme
+          // differently, e.g. file:/ vs file:///)
+          val byName = children.map(f =>
+            new org.apache.hadoop.fs.Path(f).getName -> f).toMap
+          parent.getFileSystem(conf).listStatus(parent).toSeq.flatMap { st =>
+            byName.get(st.getPath.getName)
+              .map(f => f -> (st.getLen, st.getModificationTime))
+          }
+      }
+      files.sorted.map { f =>
+        val (len, mtime) = statuses.getOrElse(f,
+          throw new java.io.FileNotFoundException(
+            s"source file vanished between scan listing and index listing: $f"))
+        IndexFile(f, len, mtime)
+      }
     }
   }
 
@@ -750,10 +899,21 @@ object Retrieval {
       text: String): DataFrame =
     postingsLayout(postingsRows(docs, id, text))
 
+  // sum over an EMPTY frame is null (a segment can legally be built from
+  // an appended zero-row file — e.g. a streaming micro-batch that wrote
+  // only metadata); a null sumdl NPE'd the tiered-compaction sort and
+  // indexStatus, wedging all future appends to that index. coalesce to 0.
   private def statsFor(docs: DataFrame, text: String): DataFrame =
     docs.select(size(tokens(col(text))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("dl")).cast("long").as("sumdl"))
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sumdl"))
+
+  /** Null-safe long read from a one-row stats frame (pre-fix segments
+    * may carry a null sumdl on disk; treat as 0). */
+  private def statLong(row: org.apache.spark.sql.Row, field: String): Long = {
+    val i = row.fieldIndex(field)
+    if (row.isNullAt(i)) 0L else row.getLong(i)
+  }
 
   /** Reconstruct a reader over ONLY `paths` when `docs` is a relocatable
     * file scan — the analyzed plan is a single `HadoopFsRelation` under
@@ -808,6 +968,41 @@ object Retrieval {
     }
   }
 
+  /** Best-effort writer lock for [[buildPostingsIndex]]: the index
+    * assumes a SINGLE writer per `indexPath` (two concurrent builders
+    * would race the manifest rename — each manifest is self-consistent,
+    * so the loser's docs are silently dropped, a lost update). The lock
+    * makes that contract loud: a second builder fails fast while a live
+    * build holds `_build.lock`; a lock older than [[LockStaleMs]] is a
+    * crashed builder's leftover and is stolen. Best-effort by design
+    * (exclusive-create is not atomic on every Hadoop scheme, e.g. S3A) —
+    * the correctness backstop remains the atomic manifest rename; the
+    * lock narrows the lost-update window and names the misuse. */
+  private[text] val LockStaleMs: Long = 30L * 60L * 1000L
+
+  private def withBuildLock[T](spark: SparkSession, indexPath: String)(
+      body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_build.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < LockStaleMs) throw new IllegalStateException(
+        s"another build holds $lock (age ${age / 1000}s); " +
+          "buildPostingsIndex is single-writer per indexPath")
+      fs.delete(lock, false) // stale (or vanished): steal and retry once
+      if (!tryAcquire()) throw new IllegalStateException(
+        s"could not acquire $lock after stealing a stale lock")
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** @param sourceTag the CALLER's name for the corpus identity (e.g.
     *        the source directory path): the index rebuilds when
     *        tag/columns/format-version change and reuses otherwise.
@@ -831,6 +1026,7 @@ object Retrieval {
       contentFingerprint: Boolean = true, maxSegments: Int = 8): Unit = {
     require(maxSegments >= 1, "maxSegments must be at least 1")
     val spark = docs.sparkSession
+    withBuildLock(spark, indexPath) {
     val listing = if (contentFingerprint) fileListing(docs) else Nil
     // In-memory sources have no file listing; content mode degenerates
     // to the tag-only contract there (the pre-round-14 behavior).
@@ -854,9 +1050,20 @@ object Retrieval {
     }
 
     /** Manifest LAST (atomic rename — readers see old or new, never a
-      * partial index), then sweep directories the new manifest no longer
-      * references: orphans from crashed builds, compacted-away segments,
-      * and the legacy v2 postings/stats tables. */
+      * partial index), then sweep stale directories — DEFERRED one
+      * generation (the Lucene deletion policy): a directory is deleted
+      * only when neither the NEW manifest nor the manifest this commit
+      * REPLACED references it. An outstanding lazy reader (a DataFrame
+      * from [[bm25FromIndex]]/[[tfidfFromIndex]] obtained before this
+      * build, or a query mid-scan in another thread) holds plans over the
+      * previous generation's segments; the round-15 eager sweep deleted
+      * those immediately after the rename and such readers died with
+      * FileNotFoundException. With the deferral, every reader obtained
+      * under the previous manifest stays servable through ONE subsequent
+      * commit; orphans from generation N−2 (and crashed builds) are swept
+      * at commit N. The legacy v2 single-table layout gets the same
+      * grace: its postings/stats tables are kept by the first v3 commit
+      * and swept by the second. */
     def commitManifest(segs: Seq[IndexSegment], nextSeg: Long): Unit = {
       val kv = Map(
         "config" -> config,
@@ -864,17 +1071,25 @@ object Retrieval {
         "next_seg" -> nextSeg.toString,
         "n_segments" -> segs.size.toString) ++
         segs.zipWithIndex.flatMap { case (s, i) =>
-          Map(s"seg.$i.dir" -> s.dir, s"seg.$i.files" -> encodeFiles(s.files))
+          Map(s"seg.$i.dir" -> s.dir, s"seg.$i.files" -> packFiles(s.files))
         }
       graft.catalog.Catalog.writeKvFile(spark,
         s"$indexPath/_segments.json", kv)
       val root = new org.apache.hadoop.fs.Path(indexPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val keep = segs.map(_.dir).toSet
+      // previous generation stays on disk for its outstanding readers;
+      // with no previous v3 manifest, the legacy v2 tables are the
+      // previous generation
+      val prevKeep = anyPrev match {
+        case Some(pm) => decodeSegments(pm).map(_.dir).toSet
+        case None => Set("postings", "stats")
+      }
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
-        val stale = (name.startsWith("seg_") && !keep(name)) ||
-          name == "postings" || name == "stats"
+        val legacy = name == "postings" || name == "stats"
+        val stale = (name.startsWith("seg_") || legacy) &&
+          !keep(name) && !prevKeep(name)
         if (stale) fs.delete(st.getPath, true)
       }
     }
@@ -943,7 +1158,7 @@ object Retrieval {
                   val bySize = segs.sortBy { s =>
                     val st = spark.read
                       .parquet(s"$indexPath/${s.dir}/stats").collect()(0)
-                    st.getLong(st.fieldIndex("sumdl"))
+                    statLong(st, "sumdl")
                   }
                   (bySize.take(nVictims), bySize.drop(nVictims))
                 }
@@ -956,8 +1171,9 @@ object Retrieval {
                 spark.read.parquet(
                     victims.map(s => s"$indexPath/${s.dir}/stats"): _*)
                   .unionByName(statsFor(newDocs, text))
-                  .agg(sum(col("n")).cast("long").as("n"),
-                    sum(col("sumdl")).cast("long").as("sumdl"))
+                  .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n"),
+                    coalesce(sum(col("sumdl")), lit(0L)).cast("long")
+                      .as("sumdl"))
                   .write.mode("overwrite").parquet(s"$indexPath/$dir/stats")
                 val mergedSeg = IndexSegment(dir,
                   victims.flatMap(_.files) ++ appended)
@@ -976,6 +1192,7 @@ object Retrieval {
           } else fullRebuild() // files modified or removed: identity broken
         }
     }
+    }
   }
 
   /** Operability surface for a [[buildPostingsIndex]] index: one row per
@@ -993,7 +1210,7 @@ object Retrieval {
     decodeSegments(m).map { seg =>
       val st = spark.read.parquet(s"$indexPath/${seg.dir}/stats").collect()(0)
       (seg.dir, seg.files.size.toLong, seg.files.map(_.len).sum,
-        st.getLong(st.fieldIndex("n")), st.getLong(st.fieldIndex("sumdl")),
+        statLong(st, "n"), statLong(st, "sumdl"),
         m("config"))
     }.toDF("segment", "n_files", "source_bytes", "n_docs", "n_tokens",
       "config")
@@ -1094,8 +1311,23 @@ object Retrieval {
     val (postings, statsRow) = readIndex(spark, indexPath)
     val stats = broadcast(statsRow.select(col("n")))
 
-    val resolved = resolveHot(hotTerms,
-      censusDfPostings(postings, censusFraction), hotTaskBytes, spark)
+    // Decidable census-skip (round 16): df ≤ N for every term, and the
+    // index's stats rows already hold N — when even N postings rows fit
+    // one task (N ≤ hotTaskBytes / PostingRowBytes, ~3.3M docs at the
+    // defaults), autoRouteHot's task-bound condition can never hold for
+    // the TRUE max-df, so the hot route can never correctly fire and the
+    // sampled census job is pure overhead. The bound costs k one-row
+    // segment-stats reads (the indexStatus read shape) instead of a
+    // sampled aggregate over the postings. Above the bound the census
+    // runs as before; explicit hotTerms still overrides everything.
+    val resolved =
+      if (hotTerms >= 0) hotTerms
+      else {
+        val nDocs = statLong(statsRow.collect()(0), "n")
+        if (nDocs <= hotTaskBytes / PostingRowBytes) 0
+        else resolveHot(-1, censusDfPostings(postings, censusFraction),
+          hotTaskBytes, spark)
+      }
     val joined = dfJoinRouted(postings, resolved)
 
     val tfidf = col("tf").cast("double") / col("dl").cast("double") *
