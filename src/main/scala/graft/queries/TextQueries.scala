@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, Contamination, Dedup, ExactSubstrings}
 import graft.multimodal.Multimodal
-import graft.text.{Budget, Cooccur, Curation, Dsir, LangModel, Packing, Redact, Retrieval, Shards, TextMetrics}
+import graft.text.{Boilerplate, Budget, Cooccur, Curation, Dsir, LangModel, Packing, Redact, Retrieval, Shards, TextMetrics, UrlDedup}
 
 /** Training-data pipeline operators over `documents`: text quality metrics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram
@@ -887,6 +887,112 @@ object TextQueries extends QueryPack {
           .orderBy(col("doc"), col("rank"))
       },
       Some(Retrieval.tfidfOracleSql(m = 3, idCol = "doc")),
-      "TF-IDF top-m served from the persisted postings index")
+      "TF-IDF top-m served from the persisted postings index"),
+
+    // Boilerplate removal (C4/CCNet line-frequency contract): the corpus
+    // has no line structure, so each doc gets a deterministic synthetic
+    // header/preamble/footer (pure functions of doc_id/source, mirrored
+    // in the oracle — the q86 PII-synthesis trick): the per-source header
+    // and footer repeat across every doc of that source (25 docs/source
+    // at sf0.01) and must be removed; the per-doc preamble and the body
+    // are unique and must be kept. Hash-exact via md5(line) keys and the
+    // md5 of the cleaned text.
+    "q101_boilerplate" -> QueryDef(
+      (s, dir) => {
+        val lined = concat_ws("\n",
+          concat(lit("subscribe to "), col("source"), lit(" weekly newsletter")),
+          concat(lit("preamble "), col("doc_id").cast("string"), lit(" unique")),
+          col("text"),
+          concat(lit("copyright 2026 "), col("source"), lit(" all rights reserved")))
+        val docs = balanced(Tables.documents(s, dir))
+          .withColumn("lined_text", lined)
+        Boilerplate.removeBoilerplate(docs, "doc_id", "lined_text",
+            "source", minDocs = 3L)
+          .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            'subscribe to ' || source || ' weekly newsletter' || chr(10) ||
+            'preamble ' || doc_id::VARCHAR || ' unique' || chr(10) ||
+            text || chr(10) ||
+            'copyright 2026 ' || source || ' all rights reserved' AS lt
+          FROM documents),
+        l AS (SELECT doc_id, source,
+            generate_subscripts(string_split(lt, chr(10)), 1) AS pos,
+            unnest(string_split(lt, chr(10))) AS line FROM d),
+        lh AS (SELECT doc_id, source, pos, line, md5(line) AS h FROM l),
+        f AS (SELECT source, h FROM lh
+              GROUP BY source, h HAVING count(DISTINCT doc_id) >= 3),
+        fl AS (SELECT lh.doc_id, lh.pos, lh.line,
+                 (f.h IS NOT NULL)::INT AS boiler
+               FROM lh LEFT JOIN f ON f.source = lh.source AND f.h = lh.h)
+        SELECT doc_id, count(*)::BIGINT AS n_lines,
+          sum(boiler)::BIGINT AS n_boiler,
+          md5(string_agg(CASE WHEN boiler = 0 THEN line END, chr(10)
+                         ORDER BY pos)) AS clean_md5
+        FROM fl GROUP BY doc_id ORDER BY doc_id"""),
+      "Boilerplate removal: per-source repeated-line scrub (C4/CCNet contract)"),
+
+    // URL-keyed canonical keep (RefinedWeb-style URL dedup): the corpus
+    // has no url column, so a synthetic one derives from doc_id with
+    // scheme-case / www / tracking-query / trailing-slash variants that
+    // normalization must collapse (140 distinct keys over the 500 sf0.01
+    // docs); one canonical doc is kept per normalized key (most tokens,
+    // doc-id tie-break) and the key's registrable domain (eTLD+1 with a
+    // co.uk-style multi-part suffix) is reported.
+    "q102_url_canonical" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id").cast("long")
+        val url = concat(
+          when(d % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+          when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+          lit("Site"), (d % 7).cast("string"),
+          when(d % 2 === 0, lit(".example.com"))
+            .otherwise(lit(".example.co.uk")),
+          lit("/articles/item"), (d % 10).cast("string"),
+          when(d % 5 === 0, lit("/")).otherwise(lit("")),
+          when(d % 4 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+        val docs = balanced(Tables.documents(s, dir)).withColumn("url", url)
+        UrlDedup.canonicalKeep(docs, "doc_id", "url", "text")
+          .orderBy(col("url_key"))
+      },
+      Some("""WITH u AS (SELECT doc_id, text,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+            || 'Site' || (doc_id % 7)::VARCHAR
+            || (CASE WHEN doc_id % 2 = 0 THEN '.example.com'
+                     ELSE '.example.co.uk' END)
+            || '/articles/item' || (doc_id % 10)::VARCHAR
+            || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END)
+              AS url
+          FROM documents),
+        nq AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+            url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*', ''), '\?.*', '')
+              AS v FROM u),
+        hp AS (SELECT doc_id, lower(regexp_extract(v, '^[^/]*')) AS host0,
+            regexp_replace(v, '^[^/]*', '') AS path0 FROM nq),
+        k AS (SELECT doc_id, regexp_replace(host0, '^www\.', '')
+            || regexp_replace(path0, '/$', '') AS url_key FROM hp),
+        t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+        j AS (SELECT k.doc_id, url_key, n_tokens,
+                row_number() OVER (PARTITION BY url_key
+                  ORDER BY n_tokens DESC, k.doc_id ASC) AS rn,
+                count(*) OVER (PARTITION BY url_key) AS nd
+              FROM k JOIN t USING (doc_id)),
+        dom AS (SELECT *, string_split(regexp_extract(url_key, '^[^/]*'), '.')
+                  AS ls FROM j WHERE rn = 1)
+        SELECT url_key,
+          CASE WHEN len(ls) >= 3 AND ls[-2] IN
+                 ('co','com','org','net','ac','gov','edu')
+               THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+               WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+               ELSE regexp_extract(url_key, '^[^/]*') END AS domain,
+          doc_id AS canonical_id, n_tokens AS canonical_tokens,
+          nd::BIGINT AS n_dups
+        FROM dom ORDER BY url_key"""),
+      "URL-keyed canonical keep: normalize + eTLD+1 + most-tokens-wins dedup")
   )
 }
