@@ -929,8 +929,8 @@ object TextQueries extends QueryPack {
                FROM lh LEFT JOIN f ON f.source = lh.source AND f.h = lh.h)
         SELECT doc_id, count(*)::BIGINT AS n_lines,
           sum(boiler)::BIGINT AS n_boiler,
-          md5(string_agg(CASE WHEN boiler = 0 THEN line END, chr(10)
-                         ORDER BY pos)) AS clean_md5
+          md5(coalesce(string_agg(CASE WHEN boiler = 0 THEN line END, chr(10)
+                         ORDER BY pos), '')) AS clean_md5
         FROM fl GROUP BY doc_id ORDER BY doc_id"""),
       "Boilerplate removal: per-source repeated-line scrub (C4/CCNet contract)"),
 

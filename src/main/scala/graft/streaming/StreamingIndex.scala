@@ -13,13 +13,15 @@ import graft.text.Retrieval
   * servable through every commit (the deferred-sweep guarantee).
   *
   * Exactly-once: each micro-batch lands under `corpusDir/batch_<id>/`
-  * and an already-existing batch directory is NOT rewritten — Structured
-  * Streaming re-delivers a batch id after a crash-restart, and the
-  * replay must neither duplicate documents nor perturb the covered
-  * files' (len, mtime) identity (which would demote the next build to a
-  * full rebuild). The corpus read uses `recursiveFileLookup`, which the
-  * relocatable-scan check preserves, so incremental appends stay on the
-  * fast path.
+  * and a batch directory carrying its `_SUCCESS` commit marker is NOT
+  * rewritten — Structured Streaming re-delivers a batch id after a
+  * crash-restart, and the replay must neither duplicate documents nor
+  * perturb the covered files' (len, mtime) identity (which would demote
+  * the next build to a full rebuild). A directory WITHOUT the marker is
+  * a crashed write's leftover and is cleared and re-landed (bare
+  * existence would silently drop the batch forever). The corpus read
+  * uses `recursiveFileLookup`, which the relocatable-scan check
+  * preserves, so incremental appends stay on the fast path.
   *
   * Ref: the reference's live collector appends ticks to daily files
   * (`collector/` EA semantics); this is the same land-then-index loop
@@ -54,8 +56,17 @@ object StreamingIndex {
       try {
         val n = docs.count()
         if (n > 0L) {
-          if (!fs.exists(batchDir)) // replayed batch: land exactly once
+          // Replay detection keys on the COMMIT marker, not bare
+          // directory existence: a crash mid-write leaves batch_<id>/
+          // with no _SUCCESS (the committer creates the directory at job
+          // setup), and treating that as landed would drop the batch's
+          // documents forever on Structured Streaming's retry. A
+          // markerless directory is a failed attempt: clear and re-land.
+          val success = new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS")
+          if (!fs.exists(success)) {
+            if (fs.exists(batchDir)) fs.delete(batchDir, true)
             docs.coalesce(1).write.parquet(batchDir.toString)
+          }
           val corpus = spark.read
             .option("recursiveFileLookup", "true").parquet(corpusDir)
           Retrieval.buildPostingsIndex(corpus, id, text, indexPath,

@@ -259,8 +259,8 @@ object Retrieval {
     * exchange. At `fraction ≥ 1` the sample IS the corpus and T̂ = D
     * exactly. */
   private[text] def censusDf(docs: DataFrame, text: String,
-      fraction: Double): (Long, Long) =
-    cachedCensus(docs, s"docs:$text", fraction) {
+      fraction: Double, sig: => String): (Long, Long) =
+    cachedCensus(docs, s"docs:$text", fraction, sig) {
       val s =
         if (fraction >= 1.0) docs
         else docs.sample(withReplacement = false, fraction, seed = 8361L)
@@ -271,15 +271,15 @@ object Retrieval {
   /** Sampled df census over a postings table (one row per (term, doc)):
     * same two estimates from the postings rows directly. */
   private[text] def censusDfPostings(postings: DataFrame,
-      fraction: Double): (Long, Long) =
-    cachedCensus(postings, "postings", fraction) {
+      fraction: Double, sig: => String): (Long, Long) =
+    cachedCensus(postings, "postings", fraction, sig) {
       val s =
         if (fraction >= 1.0) postings
         else postings.sample(withReplacement = false, fraction, seed = 8361L)
       census(s.select(col("term")), fraction)
     }
 
-  /** Content signature of a DataFrame's file-backed sources: a hash of
+  /** Content signature of a DataFrame's file-backed sources: an md5 of
     * the (path, len, mtime) listing (one driver-side `listStatus` per
     * parent directory, see [[fileListing]]). Catalyst's `sameResult`
     * compares file scans by RELATION identity (`InMemoryFileIndex`
@@ -287,18 +287,31 @@ object Retrieval {
     * in-place append/overwrite sameResult-matches a plan captured over
     * DIFFERENT bytes — plan identity is not data identity for file
     * sources. Every memo keyed on a plan must therefore also compare this
-    * signature on hit and invalidate on mismatch. Constant 0 for
-    * in-memory sources, whose data IS part of the plan. */
-  private def contentSig(df: DataFrame): Long = {
+    * signature on hit and invalidate on mismatch. A full 128-bit digest,
+    * not `Seq.hashCode` (32 bits widened — a ~2⁻³² listing collision
+    * would silently serve the stale entry the signature exists to
+    * catch). Empty string for in-memory sources, whose data IS part of
+    * the plan. Callers constructing one query evaluate this ONCE and
+    * share it between the census memo and the df cache (by-name
+    * parameters), so a routed construction pays a single listing. */
+  private def contentSig(df: DataFrame): String = {
     val files = fileListing(df)
-    if (files.isEmpty) 0L else files.hashCode.toLong
+    if (files.isEmpty) ""
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { f =>
+        md.update(f.path.getBytes("UTF-8"))
+        md.update(s" ${f.len} ${f.mtime} ".getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
   }
 
   private case class CensusKey(sessionId: Int, planHash: Int, tag: String,
                                fraction: Double)
   private case class CensusEntry(plan: org.apache.spark.sql.catalyst.plans
                                        .logical.LogicalPlan,
-                                 sig: Long,
+                                 sig: String,
                                  est: (Long, Long))
   private val censusCache =
     scala.collection.mutable.LinkedHashMap.empty[CensusKey, CensusEntry]
@@ -329,10 +342,11 @@ object Retrieval {
     * otherwise pay it per CONSTRUCTION (it is an eager job); same-session
     * repeats now pay it once. Bounded LRU; entries are two longs,
     * eviction is free. */
-  private def cachedCensus(src: DataFrame, tag: String, fraction: Double)(
+  private def cachedCensus(src: DataFrame, tag: String, fraction: Double,
+      sigIn: => String)(
       compute: => (Long, Long)): (Long, Long) = {
     val plan = src.queryExecution.analyzed
-    val sig = contentSig(src)
+    val sig = sigIn
     val key = CensusKey(System.identityHashCode(src.sparkSession),
       plan.semanticHash(), tag, fraction)
     val hit = censusCache.synchronized {
@@ -399,7 +413,7 @@ object Retrieval {
   private case class DfKey(sessionId: Int, planHash: Int, hotH: Int)
   private case class DfEntry(plan: org.apache.spark.sql.catalyst.plans
                                    .logical.LogicalPlan,
-                             sig: Long,
+                             sig: String,
                              dft: DataFrame,
                              hotRows: Array[org.apache.spark.sql.Row])
 
@@ -457,7 +471,8 @@ object Retrieval {
     * already-collected heavy-hitter rows (no second close job). The
     * plain route (and the auto route when it decides plain) persists
     * nothing. */
-  private def dfJoinRouted(tf: DataFrame, hotH: Int): DataFrame = {
+  private def dfJoinRouted(tf: DataFrame, hotH: Int,
+      sigIn: => String): DataFrame = {
     val dftPlain = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("__df"))
     if (hotH <= 0) tf.join(dftPlain, "term")
@@ -468,8 +483,9 @@ object Retrieval {
       // otherwise join the FRESH tf against the STALE collected hotRows
       // and the STALE persisted dft — new terms silently dropped by the
       // inner join and df values wrong (sameResult is rootPaths-based
-      // for file scans; see contentSig)
-      val sig = contentSig(tf)
+      // for file scans; see contentSig). The caller shares ONE listing
+      // between this check and the census memo's.
+      val sig = sigIn
       val key = DfKey(System.identityHashCode(tf.sparkSession),
         plan.semanticHash(), hotH)
       val hit = dfCache.synchronized {
@@ -606,9 +622,13 @@ object Retrieval {
     // aggregate itself is skew-immune (map-side combine caps any term at
     // one row per map task); only the JOIN back to the posting stream
     // skews — hence the route.
+    // one listing per construction, shared by the census memo and the
+    // df cache; computed only if either actually needs it
+    lazy val sig = contentSig(docs)
     val resolved = resolveHot(hotTerms,
-      censusDf(docs, text, censusFraction), hotTaskBytes, docs.sparkSession)
-    val joined = dfJoinRouted(tf, resolved)
+      censusDf(docs, text, censusFraction, sig), hotTaskBytes,
+      docs.sparkSession)
+    val joined = dfJoinRouted(tf, resolved, sig)
 
     val tfidf = col("__tf").cast("double") / col("__dl").cast("double") *
       log(col("__n").cast("double") / col("__df").cast("double"))
@@ -824,10 +844,27 @@ object Retrieval {
       decodeFiles(raw)
     }
 
-  private def decodeSegments(m: Map[String, String]): Seq[IndexSegment] =
-    (0 until m("n_segments").toInt).map { i =>
-      IndexSegment(m(s"seg.$i.dir"), unpackFiles(m(s"seg.$i.files")))
+  /** Pre-round-16 manifests wrote paths VERBATIM (no escaping, never
+    * gzip-packed); decoding them through unescapePath would throw on a
+    * legitimate backslash — or silently alter the path, breaking the
+    * (path, len, mtime) identity match and demoting every append to a
+    * full rebuild. The `files_codec` manifest key distinguishes the
+    * formats; a legacy manifest upgrades to esc1 on its first commit. */
+  private[text] def decodeFilesLegacy(s: String): Seq[IndexFile] =
+    if (s.isEmpty) Nil
+    else s.split('\n').toSeq.map { line =>
+      val parts = line.split(FieldSep)
+      IndexFile(parts(0), parts(1).toLong, parts(2).toLong)
     }
+
+  private[text] def decodeSegments(m: Map[String, String]): Seq[IndexSegment] = {
+    val dec: String => Seq[IndexFile] =
+      if (m.get("files_codec").contains("esc1")) unpackFiles
+      else decodeFilesLegacy
+    (0 until m("n_segments").toInt).map { i =>
+      IndexSegment(m(s"seg.$i.dir"), dec(m(s"seg.$i.files")))
+    }
+  }
 
   /** Number of directory `listStatus` calls [[fileListing]] has issued in
     * this JVM — the spec's accounting hook for the batched-listing
@@ -980,14 +1017,33 @@ object Retrieval {
     * lock narrows the lost-update window and names the misuse. */
   private[text] val LockStaleMs: Long = 30L * 60L * 1000L
 
+  /** Heartbeat period: the lock's mtime refreshes every LockStaleMs/6,
+    * so a LIVE long-running build (a 100 TB full rebuild runs far past
+    * 30 min) is never mistaken for a crashed one — staleness only ever
+    * accrues on a dead builder. */
+  private[text] def lockBeatMs: Long = LockStaleMs / 6
+
   private def withBuildLock[T](spark: SparkSession, indexPath: String)(
       body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_build.lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
+    // owner token: release deletes the lock only when it still carries
+    // OUR token — a mis-timed stealer's fresh lock must survive the
+    // original owner's release (otherwise a third writer walks in)
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def currentToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(new String(bytes, "UTF-8"))
+      } catch { case _: java.io.IOException => None }
     if (!tryAcquire()) {
       val age =
         try System.currentTimeMillis() -
@@ -1000,7 +1056,24 @@ object Retrieval {
       if (!tryAcquire()) throw new IllegalStateException(
         s"could not acquire $lock after stealing a stale lock")
     }
-    try body finally fs.delete(lock, false)
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(lockBeatMs)
+          try {
+            val now = System.currentTimeMillis()
+            fs.setTimes(lock, now, now)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    beat.setDaemon(true)
+    beat.setName("graft-index-lock-heartbeat")
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      if (currentToken().contains(token)) fs.delete(lock, false)
+    }
   }
 
   /** @param sourceTag the CALLER's name for the corpus identity (e.g.
@@ -1067,6 +1140,7 @@ object Retrieval {
     def commitManifest(segs: Seq[IndexSegment], nextSeg: Long): Unit = {
       val kv = Map(
         "config" -> config,
+        "files_codec" -> "esc1",
         "content_mode" -> contentMode.toString,
         "next_seg" -> nextSeg.toString,
         "n_segments" -> segs.size.toString) ++
@@ -1311,6 +1385,7 @@ object Retrieval {
     val (postings, statsRow) = readIndex(spark, indexPath)
     val stats = broadcast(statsRow.select(col("n")))
 
+    lazy val sig = contentSig(postings)
     // Decidable census-skip (round 16): df ≤ N for every term, and the
     // index's stats rows already hold N — when even N postings rows fit
     // one task (N ≤ hotTaskBytes / PostingRowBytes, ~3.3M docs at the
@@ -1325,10 +1400,11 @@ object Retrieval {
       else {
         val nDocs = statLong(statsRow.collect()(0), "n")
         if (nDocs <= hotTaskBytes / PostingRowBytes) 0
-        else resolveHot(-1, censusDfPostings(postings, censusFraction),
+        else resolveHot(-1,
+          censusDfPostings(postings, censusFraction, sig),
           hotTaskBytes, spark)
       }
-    val joined = dfJoinRouted(postings, resolved)
+    val joined = dfJoinRouted(postings, resolved, sig)
 
     val tfidf = col("tf").cast("double") / col("dl").cast("double") *
       log(col("n").cast("double") / col("__df").cast("double"))

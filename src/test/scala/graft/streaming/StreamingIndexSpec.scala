@@ -76,5 +76,20 @@ class StreamingIndexSpec extends SparkSpecBase {
       "a replayed batch must not re-land files (len/mtime identity)")
     assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("banana"), 10)
       .count() === 2L)
+
+    // crash-mid-write recovery: a batch directory WITHOUT its _SUCCESS
+    // commit marker is a failed attempt, not a landed batch — treating
+    // bare existence as landed would drop the batch's documents forever
+    // on the streaming retry
+    val partial = new java.io.File(s"$corpusDir/batch_9")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$corpusDir/batch_9/.part-junk.tmp"), "junk")
+    replay(Seq((9L, "quince")).toDF("doc_id", "text"), 9L)
+    assert(new java.io.File(s"$corpusDir/batch_9/_SUCCESS").exists(),
+      "a markerless directory must be cleared and re-landed")
+    assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("quince"), 10)
+      .collect().map(_.getLong(0)).toSeq === Seq(9L),
+      "the re-landed batch's documents must be served")
   }
 }

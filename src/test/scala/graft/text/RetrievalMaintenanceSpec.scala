@@ -162,7 +162,7 @@ class RetrievalMaintenanceSpec extends SparkSpecBase {
       Retrieval.IndexFile("/has\nnewline/part-1.parquet", 11L, 21L),
       Retrieval.IndexFile("/has\u0001sep\u0001twice", 12L, 22L),
       Retrieval.IndexFile("/back\\slash\\end\\", 13L, 23L),
-      Retrieval.IndexFile("/all\\three\nmixed", 14L, 24L))
+      Retrieval.IndexFile("/all\\three\n\u0001mixed", 14L, 24L))
     val encoded = Retrieval.encodeFiles(nasty)
     assert(Retrieval.decodeFiles(encoded) === nasty,
       "framing must survive embedded separators in paths")
@@ -233,6 +233,30 @@ class RetrievalMaintenanceSpec extends SparkSpecBase {
     assert(!lock.exists(), "the lock must be released after the build")
     assert(Retrieval.bm25FromIndex(spark, idxDir, Seq("apple"), 10)
       .count() === 2L)
+  }
+
+  test("legacy (pre-esc1) manifests decode paths verbatim; new ones escape") {
+    // an r15-era manifest has no files_codec key and wrote paths
+    // VERBATIM — running unescapePath over it would throw on a
+    // legitimate backslash or silently alter the path, breaking append
+    // identity. The codec flag gates the decode.
+    val legacyRaw = "/data/a\\december/part-0.parquet\u00015\u00017"
+    val legacy = Map(
+      "config" -> "c", "n_segments" -> "1",
+      "seg.0.dir" -> "seg_00000", "seg.0.files" -> legacyRaw)
+    val decodedLegacy = Retrieval.decodeSegments(legacy)
+    assert(decodedLegacy.head.files ===
+      Seq(Retrieval.IndexFile("/data/a\\december/part-0.parquet", 5L, 7L)),
+      "legacy paths must decode byte-verbatim, backslashes included")
+    // the same blob under the esc1 codec IS interpreted (here: loudly)
+    val esc1 = legacy + ("files_codec" -> "esc1")
+    intercept[java.io.IOException](Retrieval.decodeSegments(esc1))
+    // and a freshly-written manifest carries the codec marker
+    val dir = tmpDir("graft_codec")
+    Retrieval.buildPostingsIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", sourceTag = "spec")
+    assert(Retrieval.readSegmentManifest(spark, s"$dir/idx").get
+      .get("files_codec").contains("esc1"))
   }
 
   test("indexed tfidf skips the census when the stats row bounds max-df") {

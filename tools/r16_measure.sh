@@ -13,7 +13,7 @@
 # Conventions carried from r15_measure.sh: heap ladder (32g sf10full,
 # 64g sf100/4M-docs), idle gate before every Spark cell (refuse above
 # loadavg 4.0, poll 30 min, fail loudly), warm lap on subset ladders.
-set -eu
+set -euo pipefail
 cd /root/repo
 log() { echo "[r16m] $(date +%H:%M:%S) $*"; }
 ADDOPENS=""

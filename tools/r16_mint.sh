@@ -7,7 +7,7 @@
 # >15% is contended; up to TWO replacement cycles d, e; combine
 # per-query medians over the three quietest-by-total — mechanical, no
 # per-query selection). All cycle artifacts stay committed.
-set -eu
+set -euo pipefail
 cd /root/repo
 log() { echo "[r16mint] $(date +%H:%M:%S) $*"; }
 ADDOPENS=""
