@@ -648,6 +648,7 @@ object Dedup {
                                 maxDf: Int, prefixHotDf: Int, prefixTopK: Int)
   private case class JaccardEntry(plan: org.apache.spark.sql.catalyst.plans
                                         .logical.LogicalPlan,
+                                  sig: String,
                                   pairs: DataFrame)
   private val jaccardCache =
     mutable.LinkedHashMap.empty[JaccardKey, JaccardEntry]
@@ -678,7 +679,11 @@ object Dedup {
     * pairs repeatedly — pair REPORTING (q27), the purge table (q81),
     * quality-aware canonical keep (q91). Memoized on (session, analyzed
     * input plan, parameters) with the same `sameResult` identity test
-    * Spark's exchange reuse uses; at most [[jaccardCacheCap]] entries
+    * Spark's exchange reuse uses, PLUS the source files'
+    * [[graft.util.SourceSig.contentSig]] compared on every hit (plan
+    * identity is not data identity for file scans — an in-place corpus
+    * append would otherwise serve pairs captured over the OLD bytes);
+    * at most [[jaccardCacheCap]] entries
     * (LRU, evictions unpersist). At 100 TB the verify stage's
     * allocation churn is the pipeline's largest single-box cost (q91
     * sf100: 45% of wall in GC) — paying it once for three consumers is
@@ -695,14 +700,25 @@ object Dedup {
                          prefixTopK: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val plan = df.queryExecution.analyzed
+    // `sameResult` is plan identity, not data identity: a re-read of the
+    // same path after an in-place append/overwrite matches a plan
+    // captured over DIFFERENT bytes (graft.util.SourceSig's invariant —
+    // the round-16 Retrieval fix, closed here for the pair stream). One
+    // driver-side listing per call; a hit must also match the signature,
+    // a sameResult match over changed bytes invalidates and unpersists.
+    val sig = graft.util.SourceSig.contentSig(df)
     val key = JaccardKey(System.identityHashCode(df.sparkSession),
       plan.semanticHash(), id, text, n, threshold, maxDf, prefixHotDf,
       prefixTopK)
     val hit = jaccardCache.synchronized {
       jaccardCache.get(key) match {
-        case Some(e) if e.plan.sameResult(plan) =>
+        case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
           jaccardCache.remove(key); jaccardCache.put(key, e) // LRU touch
           Some(e.pairs)
+        case Some(e) if e.plan.sameResult(plan) =>
+          // same source identity, different bytes: stale pair stream
+          jaccardCache.remove(key); safeUnpersist(e.pairs)
+          None
         case _ => None
       }
     }
@@ -723,11 +739,14 @@ object Dedup {
           .persist(StorageLevel.MEMORY_AND_DISK)
         jaccardCache.synchronized {
           jaccardCache.get(key) match {
-            case Some(e) if e.plan.sameResult(plan) =>
+            case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
               pairs.unpersist(blocking = false)
               e.pairs
-            case _ =>
-              jaccardCache.put(key, JaccardEntry(plan, pairs))
+            case other =>
+              // a concurrent writer may have landed a STALE-sig entry at
+              // this key; replacing it must unpersist its frame
+              other.foreach(e => safeUnpersist(e.pairs))
+              jaccardCache.put(key, JaccardEntry(plan, sig, pairs))
               if (jaccardCache.size > jaccardCacheCap) {
                 val (k0, e0) = jaccardCache.head
                 jaccardCache.remove(k0)
@@ -792,7 +811,7 @@ object Dedup {
     val pairs = ngramJaccardCached(candDf, id, text, n, jaccardFloor, maxDf)
     val lmax =
       if (maxTextLen > 0) maxTextLen
-      else Option(df.agg(max(length(col(text)))).head.get(0))
+      else Option(df.agg(max(length(col(text)))).head().get(0))
         .map(_.asInstanceOf[Number].intValue).getOrElse(0)
     // +1e-6 absorbs the 6-dp output rounding: round(sim, 6) >= cut needs
     // sim >= cut - 5e-7, i.e. lev <= (1 - cut + 5e-7)·len — the band must

@@ -205,6 +205,7 @@ object Similarity {
 
   private case class PairEntry(plan: org.apache.spark.sql.catalyst.plans
                                      .logical.LogicalPlan,
+                               sig: String,
                                pairs: DataFrame)
 
   private val pairCache =
@@ -244,7 +245,12 @@ object Similarity {
     * Correctness identity: a hit requires the cached input's analyzed
     * plan to satisfy `sameResult` against the caller's — the same
     * plan-identity test Spark's own exchange/subquery reuse uses — so
-    * two embedding tables that merely hash alike can never cross-serve.
+    * two embedding tables that merely hash alike can never cross-serve;
+    * AND the source files' [[graft.util.SourceSig.contentSig]] to match
+    * (plan identity is not data identity for file scans — an in-place
+    * append to the embedding table would otherwise serve pairs captured
+    * over the OLD bytes; a sameResult match over changed bytes
+    * invalidates and unpersists the stale stream).
     * The memo holds at most `pairCacheCap` entries (LRU; evictions
     * unpersist), so executor storage stays bounded in long sessions. A
     * `spark.catalog.clearCache()` between consumers (the Bench/Verify
@@ -257,14 +263,19 @@ object Similarity {
                                buildBlocks: Int = 8, maxExactRows: Long = 8192,
                                tables: Int = 8, planes: Int = 0): DataFrame = {
     val plan = df.queryExecution.analyzed
+    val sig = graft.util.SourceSig.contentSig(df)
     val key = PairKey(System.identityHashCode(df.sparkSession),
       plan.semanticHash(), id, vec, threshold, probeBlocks, buildBlocks,
       maxExactRows, tables, planes)
     val hit = pairCache.synchronized {
       pairCache.get(key) match {
-        case Some(e) if e.plan.sameResult(plan) =>
+        case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
           pairCache.remove(key); pairCache.put(key, e) // LRU touch
           Some(e.pairs)
+        case Some(e) if e.plan.sameResult(plan) =>
+          // same source identity, different bytes: stale pair stream
+          pairCache.remove(key); safeUnpersist(e.pairs)
+          None
         case _ => None
       }
     }
@@ -286,11 +297,14 @@ object Similarity {
           .persist(StorageLevel.MEMORY_AND_DISK)
         pairCache.synchronized {
           pairCache.get(key) match {
-            case Some(e) if e.plan.sameResult(plan) =>
+            case Some(e) if e.plan.sameResult(plan) && e.sig == sig =>
               pairs.unpersist(blocking = false)
               e.pairs
-            case _ =>
-              pairCache.put(key, PairEntry(plan, pairs))
+            case other =>
+              // a concurrent writer may have landed a STALE-sig entry at
+              // this key; replacing it must unpersist its frame
+              other.foreach(e => safeUnpersist(e.pairs))
+              pairCache.put(key, PairEntry(plan, sig, pairs))
               if (pairCache.size > pairCacheCap) {
                 val (k0, e0) = pairCache.head
                 pairCache.remove(k0)

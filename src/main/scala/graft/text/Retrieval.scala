@@ -279,33 +279,16 @@ object Retrieval {
       census(s.select(col("term")), fraction)
     }
 
-  /** Content signature of a DataFrame's file-backed sources: an md5 of
-    * the (path, len, mtime) listing (one driver-side `listStatus` per
-    * parent directory, see [[fileListing]]). Catalyst's `sameResult`
-    * compares file scans by RELATION identity (`InMemoryFileIndex`
-    * equality is rootPaths-based), so a re-read of the same path after an
-    * in-place append/overwrite sameResult-matches a plan captured over
-    * DIFFERENT bytes — plan identity is not data identity for file
-    * sources. Every memo keyed on a plan must therefore also compare this
-    * signature on hit and invalidate on mismatch. A full 128-bit digest,
-    * not `Seq.hashCode` (32 bits widened — a ~2⁻³² listing collision
-    * would silently serve the stale entry the signature exists to
-    * catch). Empty string for in-memory sources, whose data IS part of
-    * the plan. Callers constructing one query evaluate this ONCE and
-    * share it between the census memo and the df cache (by-name
-    * parameters), so a routed construction pays a single listing. */
-  private def contentSig(df: DataFrame): String = {
-    val files = fileListing(df)
-    if (files.isEmpty) ""
-    else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      files.foreach { f =>
-        md.update(f.path.getBytes("UTF-8"))
-        md.update(s" ${f.len} ${f.mtime} ".getBytes("UTF-8"))
-      }
-      md.digest().map("%02x".format(_)).mkString
-    }
-  }
+  /** Content signature of a DataFrame's file-backed sources — shared
+    * implementation in [[graft.util.SourceSig]] (lifted there in round
+    * 17 so the dedup/similarity pair-stream memos enforce the same
+    * invariant; see its scaladoc for the sameResult rationale and the
+    * mtime-granularity residual). Callers constructing one query
+    * evaluate this ONCE and share it between the census memo and the df
+    * cache (by-name parameters), so a routed construction pays a single
+    * listing. */
+  private def contentSig(df: DataFrame): String =
+    graft.util.SourceSig.contentSig(df)
 
   private case class CensusKey(sessionId: Int, planHash: Int, tag: String,
                                fraction: Double)
@@ -866,49 +849,22 @@ object Retrieval {
     }
   }
 
-  /** Number of directory `listStatus` calls [[fileListing]] has issued in
-    * this JVM — the spec's accounting hook for the batched-listing
-    * contract (one listing per parent DIRECTORY, not one RPC per file:
-    * at the 100 TB design point a corpus is 10⁵–10⁶ files and the
-    * per-file `getFileStatus` first cut made the listing itself the
-    * append-path bottleneck). */
-  private[text] val listingCalls =
-    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Filesystem metadata RPCs issued by the shared listing — the
+    * spec's accounting hook, aliased from [[graft.util.SourceSig]] (one
+    * counter per JVM; the batched contract is one `listStatus` per
+    * parent directory, with a per-file fallback for tiny subsets and
+    * parentless paths). */
+  private[text] def listingCalls = graft.util.SourceSig.listingCalls
 
   /** Sorted (path, length, mtime) listing of a DataFrame's file-backed
-    * sources — a driver-side FS listing, no data pass; ONE `listStatus`
-    * per distinct parent directory (see [[listingCalls]]). Empty for
-    * in-memory sources. A source file that vanished between the scan's
-    * own listing and this call fails loudly (the old per-file
-    * `getFileStatus` semantics). */
-  private[text] def fileListing(docs: DataFrame): Seq[IndexFile] = {
-    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-    val files = docs.inputFiles.toSeq
-    if (files.isEmpty) Nil
-    else {
-      val byParent = files.groupBy(f =>
-        new org.apache.hadoop.fs.Path(f).getParent)
-      val statuses: Map[String, (Long, Long)] = byParent.flatMap {
-        case (parent, children) =>
-          listingCalls.incrementAndGet()
-          // keyed by file NAME within this parent: the manifest keeps the
-          // scan's own path string (listStatus may render the scheme
-          // differently, e.g. file:/ vs file:///)
-          val byName = children.map(f =>
-            new org.apache.hadoop.fs.Path(f).getName -> f).toMap
-          parent.getFileSystem(conf).listStatus(parent).toSeq.flatMap { st =>
-            byName.get(st.getPath.getName)
-              .map(f => f -> (st.getLen, st.getModificationTime))
-          }
-      }
-      files.sorted.map { f =>
-        val (len, mtime) = statuses.getOrElse(f,
-          throw new java.io.FileNotFoundException(
-            s"source file vanished between scan listing and index listing: $f"))
-        IndexFile(f, len, mtime)
-      }
-    }
-  }
+    * sources — the shared [[graft.util.SourceSig.fileListing]] (one
+    * `listStatus` per parent directory, see [[listingCalls]]), mapped
+    * into the manifest's [[IndexFile]] shape. Empty for in-memory
+    * sources; a source file that vanished between the scan's own
+    * listing and this call fails loudly. */
+  private[text] def fileListing(docs: DataFrame): Seq[IndexFile] =
+    graft.util.SourceSig.fileListing(docs)
+      .map(f => IndexFile(f.path, f.len, f.mtime))
 
   /** The (term, doc, dl, tf) postings aggregate for one document set,
     * laid out for the index: range-partitioned on (term, doc), not term

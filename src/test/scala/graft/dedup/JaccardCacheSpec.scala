@@ -92,4 +92,43 @@ class JaccardCacheSpec extends SparkSpecBase {
       Dedup.clearJaccardCache()
     }
   }
+
+  test("in-place corpus append invalidates the memoized pair stream") {
+    import spark.implicits._
+    Dedup.clearJaccardCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_jacsig")
+      .toString + "/docs.parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text about spark physical plans"))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    val a = Dedup.ngramJaccardCached(spark.read.parquet(dir), "doc_id",
+      "text", n = 3, threshold = 0.5)
+    val before = a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.contains((1L, 2L)))
+    assert(!before.exists(p => p._1 == 10L || p._2 == 10L))
+    // append a NEW duplicate pair in place: the re-read sameResult-matches
+    // the cached plan (rootPaths identity), so without the content
+    // signature the memo would serve the OLD pair stream and the new
+    // near-dups would silently vanish from every downstream consumer
+    Seq(
+      (10L, "some freshly appended duplicate sentence for this test set"),
+      (11L, "some freshly appended duplicate sentence for this test set"))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    val b = Dedup.ngramJaccardCached(spark.read.parquet(dir), "doc_id",
+      "text", n = 3, threshold = 0.5)
+    val after = b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((10L, 11L)),
+      "pairs appended in place must appear on the next cached call")
+    assert(after.contains((1L, 2L)))
+    // and an unchanged re-read still HITS (same frame instance)
+    val c = Dedup.ngramJaccardCached(spark.read.parquet(dir), "doc_id",
+      "text", n = 3, threshold = 0.5)
+    assert(c eq b, "unchanged re-read must still hit the memo")
+    Dedup.clearJaccardCache()
+    spark.catalog.clearCache()
+  }
 }

@@ -131,4 +131,37 @@ class PairCacheSpec extends SparkSpecBase {
       Similarity.clearPairCache()
     }
   }
+
+  test("in-place table append invalidates the memoized pair stream") {
+    Similarity.clearPairCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairsig")
+      .toString + "/emb.parquet"
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (math.sin(seed * 97.0 + j) * 0.5).toFloat)
+    Seq((1L, v(1)), (2L, v(1)), (3L, v(3)))
+      .toDF("vec_id", "embedding").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    val a = Similarity.cosineNearDupPairsCached(spark.read.parquet(dir),
+      "vec_id", "embedding", 0.9)
+    val before = a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before === Set((1L, 2L)))
+    // append a NEW duplicate pair in place: the re-read sameResult-matches
+    // the cached plan (rootPaths identity), so without the content
+    // signature the memo would keep serving the OLD pair stream
+    Seq((10L, v(10)), (11L, v(10)))
+      .toDF("vec_id", "embedding").repartition(1)
+      .write.mode("append").parquet(dir)
+    val b = Similarity.cosineNearDupPairsCached(spark.read.parquet(dir),
+      "vec_id", "embedding", 0.9)
+    val after = b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((10L, 11L)),
+      "pairs appended in place must appear on the next cached call")
+    assert(after.contains((1L, 2L)))
+    // and an unchanged re-read still HITS (same frame instance)
+    val c = Similarity.cosineNearDupPairsCached(spark.read.parquet(dir),
+      "vec_id", "embedding", 0.9)
+    assert(c eq b, "unchanged re-read must still hit the memo")
+    Similarity.clearPairCache()
+    spark.catalog.clearCache()
+  }
 }
