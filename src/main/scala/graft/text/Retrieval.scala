@@ -961,76 +961,18 @@ object Retrieval {
     }
   }
 
-  /** Best-effort writer lock for [[buildPostingsIndex]]: the index
-    * assumes a SINGLE writer per `indexPath` (two concurrent builders
-    * would race the manifest rename — each manifest is self-consistent,
-    * so the loser's docs are silently dropped, a lost update). The lock
-    * makes that contract loud: a second builder fails fast while a live
-    * build holds `_build.lock`; a lock older than [[LockStaleMs]] is a
-    * crashed builder's leftover and is stolen. Best-effort by design
-    * (exclusive-create is not atomic on every Hadoop scheme, e.g. S3A) —
-    * the correctness backstop remains the atomic manifest rename; the
-    * lock narrows the lost-update window and names the misuse. */
-  private[text] val LockStaleMs: Long = 30L * 60L * 1000L
+  /** Best-effort writer lock for [[buildPostingsIndex]] — shared
+    * implementation in [[graft.util.BuildLock]] (the vector index uses
+    * the same lock; see its scaladoc for the steal protocol and the
+    * best-effort caveats). The atomic manifest rename remains the
+    * correctness backstop. */
+  private[text] val LockStaleMs: Long = graft.util.BuildLock.StaleMs
 
-  /** Heartbeat period: the lock's mtime refreshes every LockStaleMs/6,
-    * so a LIVE long-running build (a 100 TB full rebuild runs far past
-    * 30 min) is never mistaken for a crashed one — staleness only ever
-    * accrues on a dead builder. */
-  private[text] def lockBeatMs: Long = LockStaleMs / 6
+  private[text] def lockBeatMs: Long = graft.util.BuildLock.beatMs
 
   private def withBuildLock[T](spark: SparkSession, indexPath: String)(
-      body: => T): T = {
-    val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_build.lock")
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(lock.getParent)
-    // owner token: release deletes the lock only when it still carries
-    // OUR token — a mis-timed stealer's fresh lock must survive the
-    // original owner's release (otherwise a third writer walks in)
-    val token = java.util.UUID.randomUUID().toString
-    def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    def currentToken(): Option[String] =
-      try {
-        val in = fs.open(lock)
-        val bytes = try in.readAllBytes() finally in.close()
-        Some(new String(bytes, "UTF-8"))
-      } catch { case _: java.io.IOException => None }
-    if (!tryAcquire()) {
-      val age =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      if (age < LockStaleMs) throw new IllegalStateException(
-        s"another build holds $lock (age ${age / 1000}s); " +
-          "buildPostingsIndex is single-writer per indexPath")
-      fs.delete(lock, false) // stale (or vanished): steal and retry once
-      if (!tryAcquire()) throw new IllegalStateException(
-        s"could not acquire $lock after stealing a stale lock")
-    }
-    val beat = new Thread(() => {
-      try {
-        while (!Thread.interrupted()) {
-          Thread.sleep(lockBeatMs)
-          try {
-            val now = System.currentTimeMillis()
-            fs.setTimes(lock, now, now)
-          } catch { case scala.util.control.NonFatal(_) => () }
-        }
-      } catch { case _: InterruptedException => () }
-    })
-    beat.setDaemon(true)
-    beat.setName("graft-index-lock-heartbeat")
-    beat.start()
-    try body finally {
-      beat.interrupt()
-      if (currentToken().contains(token)) fs.delete(lock, false)
-    }
-  }
+      body: => T): T =
+    graft.util.BuildLock.withLock(spark, s"$indexPath/_build.lock")(body)
 
   /** @param sourceTag the CALLER's name for the corpus identity (e.g.
     *        the source directory path): the index rebuilds when
