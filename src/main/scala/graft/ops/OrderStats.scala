@@ -84,11 +84,18 @@ object OrderStats {
     specs.foreach(s => require(s.p >= 0 && s.p <= 1,
       s"percentile must be in [0,1], got ${s.p}"))
     val spark = df.sparkSession
-    val melted = specs.zipWithIndex.map { case (s, i) =>
-      df.select(col(group).as("g"), lit(i).as("w"),
-          col(s.value).cast("double").as("v"))
-        .where(col("v").isNotNull)
-    }.reduce(_ union _)
+    // ONE scan of the fact table for ALL specs: explode a per-row array
+    // of (spec-index, value) structs instead of unioning one df.select
+    // per spec — the union form re-read the source k times (k scans of a
+    // 100 TB table for a k-percentile request; q10 was the only query in
+    // the suite whose plan read the same source more than once).
+    val melted = df
+      .select(col(group).as("g"),
+        explode(array(specs.zipWithIndex.map { case (s, i) =>
+          struct(lit(i).as("w"), col(s.value).cast("double").as("v"))
+        }: _*)).as("wv"))
+      .select(col("g"), col("wv.w").as("w"), col("wv.v").as("v"))
+      .where(col("v").isNotNull)
 
     // Route probe: distinct (spec, group, value) cells, approximately —
     // a single scan with sketch-sized state (no shuffle of data rows).
