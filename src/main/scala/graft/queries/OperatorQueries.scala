@@ -150,15 +150,28 @@ object OperatorQueries extends QueryPack {
               .orderBy(col("event_id").desc)))
           .filter(col("__rn") === 1).drop("__rn")
         val trimmed = Signals.pointInTimeTrim(uni, TrimStartMs, TrimEndMs)
+        // r17: the matched row's values ride the as-of as ONE struct
+        // payload instead of a surrogate uid + values re-join. `last(col,
+        // ignoreNulls)` runs per COLUMN, so carrying nullable values
+        // directly would mix rows (a sentinel's NULL sentiment would
+        // back-fill from an older symbol row) — but a STRUCT is non-null
+        // for every right row, so the window carries the whole matched
+        // row atomically and the NULL sentiment survives inside it.
+        // `resolved` is unique per (symbol, collected_msc) (resolveFor-
+        // Symbol's rn3 = 1), so the payload tie-break never fires and the
+        // matched row is the same one the uid join fetched. Removes the
+        // values hash join AND the second computation of the whole
+        // resolved subtree (events scans + union + 3 windows) the joined/
+        // payload double reference forced: 9 scans → 6, 10 exchanges → 7.
         val resolved = Signals.resolveForSymbol(trimmed, "U7")
           .withColumn("symbol", lit("U7")) // sentinel rows join the same key
-          .withColumn("sig_uid", col("event_id"))
+          .withColumn("__sig",
+            struct(col("collected_msc").as("sig_msc"), col("sentiment_score")))
         val joined = AsOfJoin.backward(ticks, resolved, Seq("symbol"),
-          "ts_ms", "collected_msc", Seq("sig_uid"))
-        val payload = resolved.select(col("sig_uid").as("__uid"),
-          col("collected_msc").as("sig_msc"),
-          col("sentiment_score"))
-        joined.join(payload, col("sig_uid") === col("__uid"), "left")
+          "ts_ms", "collected_msc", Seq("__sig"))
+        joined
+          .withColumn("sig_msc", col("__sig.sig_msc"))
+          .withColumn("sentiment_score", col("__sig.sentiment_score"))
           .withColumn("is_stale",
             col("sig_msc").isNull || (col("ts_ms") - col("sig_msc")) > 21600000L)
           .select(col("event_id"), col("ts_ms"), col("sig_msc"),
