@@ -141,22 +141,43 @@ object Reports {
     * split, duration from the run-timestamp span, head fields from the
     * first run (min run_id — deterministic where the reference takes
     * arrival order). Rows without a sweep_id are ignored. */
-  def sweepSummaries(ledger: DataFrame): DataFrame =
+  def sweepSummaries(ledger: DataFrame): DataFrame = {
+    // r17: run-grain pre-aggregation instead of two filtered
+    // countDistincts + min_bys over the raw ledger. The distinct
+    // rewrite EXPANDed every ledger row once per distinct aggregate and
+    // the plan fell to a 4-deep SortAggregate chain (sorting the 2×
+    // stream three times); aggregating to one row per (sweep, run)
+    // first — the grain every output column is defined on — makes all
+    // downstream counts plain, every aggregate hash-based, and the
+    // exchange carry runs, not ledger rows. Map-side partial
+    // aggregation collapses each task's rows before either shuffle, the
+    // 100 TB contract for a ledger with many rows per run. Identical
+    // output: run_count ≡ count of run rows, error_count ≡ count of
+    // runs with ≥1 non-ok row, span mins/maxes compose, and the head
+    // fields are min_by over per-run values (the ledger contract —
+    // decision_logic_type/objective_name are constant within a run; for
+    // ill-formed ledgers the old row-level min_by tie-broke
+    // arbitrarily, the per-run min is strictly more deterministic).
     ledger.filter(col("sweep_id").isNotNull && col("sweep_id") =!= "")
-      .groupBy(col("sweep_id")).agg(
-        min(col("run_ts_ms")).as("started_ms"),
-        ((max(col("run_ts_ms")) - min(col("run_ts_ms"))) / 1000.0)
-          .as("duration_s"),
-        countDistinct(col("run_id")).as("run_count"),
+      .groupBy(col("sweep_id"), col("run_id")).agg(
+        min(col("run_ts_ms")).as("__ts_min"),
+        max(col("run_ts_ms")).as("__ts_max"),
         // status != "ok" (not status == "error"): matches sweepRanking's
         // convention and stays correct for ledgers that carry annotated
         // statuses like "error: <msg>" from older writers.
-        countDistinct(when(col("status") =!= "ok", col("run_id")))
-          .as("error_count"),
-        min_by(col("decision_logic_type"), col("run_id"))
-          .as("decision_logic_type"),
-        min_by(col("objective_name"), col("run_id")).as("objective"))
+        max(when(col("status") =!= "ok", 1L).otherwise(0L)).as("__has_err"),
+        min(col("decision_logic_type")).as("__dlt"),
+        min(col("objective_name")).as("__obj"))
+      .groupBy(col("sweep_id")).agg(
+        min(col("__ts_min")).as("started_ms"),
+        ((max(col("__ts_max")) - min(col("__ts_min"))) / 1000.0)
+          .as("duration_s"),
+        count(lit(1)).as("run_count"),
+        sum(col("__has_err")).as("error_count"),
+        min_by(col("__dlt"), col("run_id")).as("decision_logic_type"),
+        min_by(col("__obj"), col("run_id")).as("objective"))
       .withColumn("ok_count", col("run_count") - col("error_count"))
+  }
 
   /** A13: robustness distribution over a per-window metric column:
     * mean/median/population stddev/% profitable/best/worst/CoV.
