@@ -986,12 +986,27 @@ object Retrieval {
     *        metadata — the caller then owns versioning via the tag).
     * @param maxSegments compaction threshold: an append that would push
     *        the segment count past this instead merges the smallest
-    *        segments with the new docs until the count fits — a
-    *        POSTINGS-only shuffle+rewrite of the merged TIER (never a
-    *        re-tokenize, never the large segments), the Lucene
-    *        logarithmic-merge contract. Values near the minimum (2–3)
-    *        degrade to rewriting one growing pile per append; the
-    *        default 8 keeps amortized rewrite cost logarithmic. */
+    *        segments with the new docs — a POSTINGS-only shuffle+rewrite
+    *        of the merged TIER (never a re-tokenize, never the large
+    *        segments), the Lucene logarithmic-merge contract. The victim
+    *        set extends through the similar-size bottom tier
+    *        ([[TierRatio]]), so a compaction leaves the count well under
+    *        the cap and the next several appends are plain appends
+    *        instead of re-triggering a merge every batch. Values near
+    *        the minimum (2–3) degrade toward rewriting one growing pile
+    *        per compaction; the default 8 keeps amortized rewrite cost
+    *        logarithmic. */
+  /** Size-tiered victim-extension ratio for compaction: once a merge is
+    * forced (segment count past `maxSegments`), the victim set grows
+    * while the next-smallest segment's token count is ≤ this × its
+    * predecessor's in the ascending order (neighbor-chain tiering).
+    * 3.0 is the LSM/Lucene-family convention: segments within 3× of
+    * each other are one tier and merge together (a geometric staircase
+    * sums to ≤ 1.5× its largest member), while a segment more than 3×
+    * bigger than the tier below it — the "big" tier an append must
+    * never rewrite — always survives. */
+  val TierRatio: Double = 3.0
+
   def buildPostingsIndex(docs: DataFrame, id: String, text: String,
       indexPath: String, sourceTag: String,
       contentFingerprint: Boolean = true, maxSegments: Int = 8): Unit = {
@@ -1104,35 +1119,71 @@ object Retrieval {
               case None => fullRebuild() // non-relocatable plan: correct, just not incremental
               case Some(newDocs) if segs.size + 1 > maxSegments =>
                 // TIERED COMPACTION (the Lucene logarithmic-merge policy,
-                // simplified): merge the FEWEST, SMALLEST existing
-                // segments (by covered source bytes — the manifest
-                // already records every file's length) together with the
-                // new docs, so that the result respects `maxSegments` —
-                // large segments are never rewritten by an append. The
-                // first cut of v3 merged EVERYTHING here, which made
-                // every `maxSegments`-th 0.1% append rewrite 100% of the
-                // postings — the same asymptotic gap compaction was
-                // supposed to close, one level up. Merge inputs are
-                // already-aggregated POSTINGS (never a re-tokenize), laid
-                // out in ONE shuffle together with the new docs' rows.
-                // Repeated small appends therefore rewrite a given row
-                // O(log N) times as it ascends the tiers, and a segment
-                // only joins a merge when it is among the smallest.
+                // simplified): merge the SMALLEST existing segments
+                // together with the new docs, so that the result
+                // respects `maxSegments` — large segments are never
+                // rewritten by an append. The first cut of v3 merged
+                // EVERYTHING here, which made every `maxSegments`-th
+                // 0.1% append rewrite 100% of the postings — the same
+                // asymptotic gap compaction was supposed to close, one
+                // level up. Merge inputs are already-aggregated POSTINGS
+                // (never a re-tokenize), laid out in ONE shuffle
+                // together with the new docs' rows. Repeated small
+                // appends therefore rewrite a given row O(log N) times
+                // as it ascends the tiers, and a segment only joins a
+                // merge when it is among the smallest.
+                //
+                // r17 (write-amplification fix, the round-16 soak's
+                // watch item): at the cap, the MINIMAL victim set
+                // (count+1-max, usually 2) re-triggered compaction on
+                // EVERY subsequent append — flat per-batch cost, but a
+                // merge job + manifest generation per append, and the
+                // bottom pile rewritten each time. The victim set now
+                // EXTENDS past the minimum through the whole
+                // similar-size bottom tier — grow while the next
+                // segment's token count is ≤ tierRatio × its
+                // predecessor's (the neighbor-chain tier criterion: a
+                // tier is a maximal run of same-size-within-ratio
+                // segments, so a geometric staircase merges as one
+                // family whose sum is ≤ ratio/(ratio−1) × its largest
+                // member) — so the count drops WELL below the cap and
+                // the next several appends commit as plain appends.
+                // Compaction becomes occasional instead of per-append;
+                // the count TRIGGER, the postings-only merge, and the
+                // big-segment-untouched invariant are unchanged (a
+                // segment more than ratio × bigger than the tier below
+                // it never joins the merge — measured on the 20-batch
+                // soak: the 8.8M-token base survives every compaction
+                // while the 520k-token batch tier merges).
                 val dir = segDirName(m("next_seg").toLong)
                 val nVictims = segs.size + 1 - maxSegments
                 val (victims, survivors) = {
                   // Tier by the segment's TOKEN count (sumdl from its
-                  // one-row stats — k tiny reads per compaction): the
-                  // true postings-size proxy. The first cut tiered by
-                  // covered source bytes, which parquet per-file
-                  // overhead inverts on small-file corpora — exactly
-                  // the append-heavy shape compaction serves.
-                  val bySize = segs.sortBy { s =>
-                    val st = spark.read
-                      .parquet(s"$indexPath/${s.dir}/stats").collect()(0)
-                    statLong(st, "sumdl")
+                  // stats — the true postings-size proxy; ONE union read
+                  // attributed by input_file_name instead of the old
+                  // k one-row jobs). The first cut tiered by covered
+                  // source bytes, which parquet per-file overhead
+                  // inverts on small-file corpora — exactly the
+                  // append-heavy shape compaction serves.
+                  val statRows = spark.read.parquet(
+                      segs.map(s => s"$indexPath/${s.dir}/stats"): _*)
+                    .select(
+                      regexp_extract(input_file_name(),
+                        "(seg_[0-9]+)/stats", 1).as("__seg"),
+                      col("sumdl"))
+                    .groupBy(col("__seg"))
+                    .agg(coalesce(sum(col("sumdl")), lit(0L)).cast("long")
+                      .as("__sumdl"))
+                    .collect()
+                    .map(r => r.getString(0) -> r.getLong(1)).toMap
+                  val bySize = segs.sortBy(s => statRows.getOrElse(s.dir, 0L))
+                  val sizes = bySize.map(s => statRows.getOrElse(s.dir, 0L))
+                  var cut = nVictims
+                  while (cut < bySize.length &&
+                      sizes(cut) <= TierRatio * math.max(sizes(cut - 1), 1L)) {
+                    cut += 1
                   }
-                  (bySize.take(nVictims), bySize.drop(nVictims))
+                  (bySize.take(cut), bySize.drop(cut))
                 }
                 val merged = postingsLayout(
                   spark.read.parquet(

@@ -156,6 +156,60 @@ class RetrievalMaintenanceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq === Seq(6L))
   }
 
+  test("tier-ratio compaction: one merge swallows the bottom tier, then appends") {
+    // r17 write-amplification fix: at the segment cap the victim set
+    // extends through the whole similar-size bottom tier, so ONE
+    // compaction clears enough headroom that the following appends
+    // commit as plain appends instead of re-compacting every batch —
+    // while a big segment (> TierRatio × the bottom tier's total) is
+    // still never rewritten.
+    val base = tmpDir("graft_tier")
+    val corpusDir = s"$base/docs.parquet"
+    val idxDir = s"$base/idx"
+    // Big base: enough filler tokens to dominate every small tier.
+    val fillers = (100L to 400L).map(i =>
+      (i, s"fill$i " + (1 to 8).map(j => s"w${i}_$j").mkString(" ")))
+    (corpus ++ fillers).toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    def build(): Unit = Retrieval.buildPostingsIndex(
+      spark.read.parquet(corpusDir), "doc_id", "text", idxDir,
+      sourceTag = corpusDir, maxSegments = 4)
+    def manifest() = Retrieval.readSegmentManifest(spark, idxDir).get
+    def append(id: Long, text: String): Unit =
+      Seq((id, text)).toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(corpusDir)
+    build()
+    assert(Retrieval.lastBuildInfo.mode === "full")
+    val bigDir = manifest()("seg.0.dir")
+    // three small appends fill the cap (big + 3 smalls = 4 segments)
+    append(6L, "fig banana"); build()
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("append", 2, 1))
+    append(7L, "fig cherry"); build()
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("append", 3, 1))
+    append(8L, "fig grape"); build()
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("append", 4, 1))
+    // the 4th small append crosses the cap: the minimal victim set is 1
+    // segment, but all three smalls sit in one size tier — the merge
+    // takes the WHOLE tier and the count drops to 2 (big + merged smalls)
+    append(9L, "fig kiwi"); build()
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("compact", 2, 1))
+    val m1 = manifest()
+    assert(Seq(m1("seg.0.dir"), m1("seg.1.dir")).contains(bigDir),
+      "the big segment must survive the tier merge un-rewritten")
+    // ...so the NEXT appends are plain appends, not compactions
+    append(10L, "fig lime"); build()
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("append", 3, 1))
+    append(11L, "fig mango"); build()
+    assert(Retrieval.lastBuildInfo === Retrieval.IndexBuildInfo("append", 4, 1))
+    // served results equal the from-scratch form over the same corpus
+    val direct = Retrieval.bm25TopK(spark.read.parquet(corpusDir),
+        "doc_id", "text", Seq("fig"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Retrieval.bm25FromIndex(spark, idxDir, Seq("fig"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed === direct)
+  }
+
   test("manifest file entries: separator-bearing paths round-trip, loud on corrupt") {
     val nasty = Seq(
       Retrieval.IndexFile("/plain/path/part-0.parquet", 10L, 20L),
