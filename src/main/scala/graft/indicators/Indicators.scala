@@ -103,17 +103,55 @@ object Indicators {
   }
 
   /** MACD: fast/slow EMA of close, signal EMA of the MACD line, histogram —
-    * `/root/reference/python/framework/workers/core/macd_worker.py:189-275`. */
+    * `/root/reference/python/framework/workers/core/macd_worker.py:189-275`.
+    *
+    * r17: ONE fused per-key scan instead of three chained
+    * [[SequentialOps.ema]] kernels. A MapPartitions kernel's output
+    * partitioning is opaque to Catalyst, so each chained EMA re-paid the
+    * full repartition(keys) + sort + row (de)serialization — three
+    * exchanges and three object boundaries for one logical pass (the q46
+    * plan: 4 Exchange / 3 MapPartitions → 2 / 1). All three recursions
+    * are row-local given the previous state, so a single scan carrying
+    * (fast, slow, signal) state emits identical values in the identical
+    * FP operation order: per row, fast/slow update exactly as the
+    * standalone EMA (null close carries state), the line is fast − slow
+    * whenever both are seeded (null-close rows emit the CARRIED line,
+    * the chained form's documented behavior), and the signal EMA
+    * consumes every non-null line. */
   def macd(df: DataFrame, keys: Seq[String], order: Seq[String], close: String,
            fast: Int = 12, slow: Int = 26, signal: Int = 9,
            prefix: String = "macd"): DataFrame = {
-    val f = SequentialOps.ema(df, keys, order, close, 2.0 / (fast + 1), "__ema_f")
-    val s = SequentialOps.ema(f, keys, order, close, 2.0 / (slow + 1), "__ema_s")
-    val line = s.withColumn(s"${prefix}_line", col("__ema_f") - col("__ema_s"))
-    val sig = SequentialOps.ema(line, keys, order, s"${prefix}_line",
-      2.0 / (signal + 1), s"${prefix}_signal")
-    sig.withColumn(s"${prefix}_hist", col(s"${prefix}_line") - col(s"${prefix}_signal"))
-      .drop("__ema_f", "__ema_s")
+    val aF = 2.0 / (fast + 1)
+    val aS = 2.0 / (slow + 1)
+    val aG = 2.0 / (signal + 1)
+    val vIdx = df.schema.fieldIndex(close)
+    SequentialOps.perKeyScan[(Option[Double], Option[Double], Option[Double])](
+      df, keys, order,
+      Seq(s"${prefix}_line" -> org.apache.spark.sql.types.DoubleType,
+        s"${prefix}_signal" -> org.apache.spark.sql.types.DoubleType,
+        s"${prefix}_hist" -> org.apache.spark.sql.types.DoubleType),
+      init = _ => (None, None, None),
+      step = (st, row) => {
+        val (f0, s0, g0) = st
+        val (f1, s1) =
+          if (row.isNullAt(vIdx)) (f0, s0)
+          else {
+            val v = row.getDouble(vIdx)
+            (Some(f0 match { case None => v
+               case Some(p) => aF * v + (1.0 - aF) * p }),
+              Some(s0 match { case None => v
+                case Some(p) => aS * v + (1.0 - aS) * p }))
+          }
+        (f1, s1) match {
+          case (Some(fv), Some(sv)) =>
+            val line = fv - sv
+            val sig = g0 match { case None => line
+              case Some(p) => aG * line + (1.0 - aG) * p }
+            ((f1, s1, Some(sig)), Seq(line, sig, line - sig))
+          case _ =>
+            ((f1, s1, g0), Seq(null, null, null))
+        }
+      })
   }
 
   /** Moving-average trend slope: (MA - lag(MA)) normalized by window stddev —
