@@ -134,35 +134,51 @@ object OrderStats {
   }
 
   /** Histogram branch: value→count cells via one map-side-combined
-    * aggregation, order statistics from the driver-side cumulative walk.
+    * aggregation, order statistics selected DISTRIBUTEDLY (r17): a
+    * cumulative-count window over the cells (partitioned by (spec,
+    * group), ordered by value) marks the ≤2 cells per (spec, group)
+    * whose count interval straddles a wanted global index, and only
+    * those rows collect. The pre-r17 form collected EVERY cell (up to
+    * [[HistogramMaxCells]] rows — tens of MB of driver heap and a
+    * single-threaded sort+walk); now driver state is O(groups × specs)
+    * and the walk runs where the cells already live, at the cost of one
+    * extra exchange of the CELL stream (≤ the cap by routing, ≪ the
+    * fact stream by map-side combining).
     * Returns (per-(spec, group) total counts, wanted order statistics). */
   private def histogramSelection(melted: DataFrame, specs: Seq[PctSpec])
       : (Map[(Int, Any), Long], Map[(Int, Any, Long), Double]) = {
-    val cells = melted.groupBy(col("w"), col("g"), col("v")).count().collect()
-    val byKey = cells.groupBy(r => (r.getInt(0), r.get(1)))
-    val totals: Map[(Int, Any), Long] =
-      byKey.view.mapValues(_.map(_.getLong(3)).sum).toMap
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col("w"), col("g"))
+    val ordered = byGroup.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // percentile per spec index as a column (specs is driver-small)
+    val pOf = specs.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (s, i)) => when(col("w") === i, lit(s.p)).otherwise(acc)
+    }
+    val hits = melted.groupBy(col("w"), col("g"), col("v")).count()
+      .withColumn("n", sum(col("count")).over(byGroup))
+      .withColumn("cum", sum(col("count")).over(ordered))
+      .withColumn("x", pOf * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("x")).cast("long"))
+      .withColumn("hi", ceil(col("x")).cast("long"))
+      // a cell covers global indexes [cum - count, cum)
+      .filter(
+        (col("lo") >= col("cum") - col("count") && col("lo") < col("cum")) ||
+        (col("hi") >= col("cum") - col("count") && col("hi") < col("cum")))
+      .select(col("w"), col("g"), col("v"), col("count"), col("cum"),
+        col("n"), col("lo"), col("hi"))
+      .collect()
+    val totals = Map.newBuilder[(Int, Any), Long]
     val picked = Map.newBuilder[(Int, Any, Long), Double]
-    byKey.foreach { case (k @ (w, g), rows) =>
-      val n = totals(k)
-      val x = specs(w).p * (n - 1)
-      val want = Array(math.floor(x).toLong, math.ceil(x).toLong).distinct.sorted
-      var wi = 0
-      var cum = 0L
-      val sorted = rows.sortBy(_.getDouble(2))
-      var ri = 0
-      while (ri < sorted.length && wi < want.length) {
-        val r = sorted(ri)
-        val c = r.getLong(3)
-        while (wi < want.length && want(wi) < cum + c) {
-          picked += (((w, g, want(wi)), r.getDouble(2)))
-          wi += 1
-        }
-        cum += c
-        ri += 1
+    hits.foreach { r =>
+      val w = r.getInt(0); val g = r.get(1); val v = r.getDouble(2)
+      val count = r.getLong(3); val cum = r.getLong(4)
+      totals += (((w, g), r.getLong(5)))
+      Seq(r.getLong(6), r.getLong(7)).distinct.foreach { idx =>
+        if (idx >= cum - count && idx < cum) picked += (((w, g, idx), v))
       }
     }
-    (totals, picked.result())
+    (totals.result(), picked.result())
   }
 
   /** Sort branch: distributed selection over one range-partitioned sort
