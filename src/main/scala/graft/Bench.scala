@@ -114,6 +114,9 @@ object Bench {
     val results = selected
       .flatMap { case (name, fn) =>
       drain(); census.reset()
+      // Guide §1.5: label the query's jobs so the UI/event log reads per
+      // query (thread-local; measurement-neutral).
+      spark.sparkContext.setJobDescription(s"bench: $name")
       // A crashed run's elapsed time is NOT a measurement: only
       // successful runs enter `times` (and so the median); failures are
       // recorded in the JSON's errors array, and a query with zero
@@ -151,6 +154,7 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }.sorted
+      spark.sparkContext.setJobDescription(null)
       val okRuns = times.length
       // true median: mean of the two middle samples when runs is even
       val mid = times.length / 2
