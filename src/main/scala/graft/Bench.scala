@@ -305,6 +305,19 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"failed":$failedArr,"sf":"$sfDir"}"""
     println(summary)
+    // r18 (round-17 verdict #1 "what's wrong" / Next #2): the first line
+    // above embeds the witness block and can run to hundreds of KB, so a
+    // log-tail capture front-truncates it and a consumer that parses the
+    // captured tail sees per-query seconds from NO line (the short
+    // summary has none) — per-query round-over-round comparison went
+    // blind. The LAST stdout line is therefore the original driver
+    // contract, compact: total + name→median seconds only, no witness /
+    // errors detail (~3 KB at 102 queries — survives tail buffers).
+    // Witness/cert adjudication detail stays in the full line and in
+    // $SPARK_GRAFT_BENCH_OUT; this line is an ADDITION, nothing removed.
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"failed":$failedArr,"sf":"$sfDir"}"""
+    println(compact)
     // sbt prefixes stdout with "[info] ", which breaks naive line-parsers —
     // also persist the JSON to a file so consumers never scrape logs.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -158,6 +158,15 @@ object Reports {
     // decision_logic_type/objective_name are constant within a run; for
     // ill-formed ledgers the old row-level min_by tie-broke
     // arbitrarily, the per-run min is strictly more deterministic).
+    //
+    // NULL run_ids (r18, ADVICE): the pre-r17 countDistinct(run_id)
+    // (and the oracle's count(DISTINCT run_id)) never counted a NULL
+    // run_id as a run, but r17's count(lit(1)) over the run grain
+    // counted the NULL group as one and could count its errors. The
+    // NULL group STAYS in the inner aggregate — its rows participate
+    // in started_ms/duration_s exactly as every row did pre-r17 — and
+    // is excluded from run_count (count(run_id) skips NULLs) and
+    // error_count; min_by ignores NULL ordering keys on both forms.
     ledger.filter(col("sweep_id").isNotNull && col("sweep_id") =!= "")
       .groupBy(col("sweep_id"), col("run_id")).agg(
         min(col("run_ts_ms")).as("__ts_min"),
@@ -172,8 +181,9 @@ object Reports {
         min(col("__ts_min")).as("started_ms"),
         ((max(col("__ts_max")) - min(col("__ts_min"))) / 1000.0)
           .as("duration_s"),
-        count(lit(1)).as("run_count"),
-        sum(col("__has_err")).as("error_count"),
+        count(col("run_id")).as("run_count"),
+        sum(when(col("run_id").isNotNull, col("__has_err"))
+          .otherwise(lit(0L))).as("error_count"),
         min_by(col("__dlt"), col("run_id")).as("decision_logic_type"),
         min_by(col("__obj"), col("run_id")).as("objective"))
       .withColumn("ok_count", col("run_count") - col("error_count"))

@@ -1165,7 +1165,7 @@ object Retrieval {
                   // source bytes, which parquet per-file overhead
                   // inverts on small-file corpora — exactly the
                   // append-heavy shape compaction serves.
-                  val statRows = spark.read.parquet(
+                  val unionRows = spark.read.parquet(
                       segs.map(s => s"$indexPath/${s.dir}/stats"): _*)
                     .select(
                       regexp_extract(input_file_name(),
@@ -1176,6 +1176,24 @@ object Retrieval {
                       .as("__sumdl"))
                     .collect()
                     .map(r => r.getString(0) -> r.getLong(1)).toMap
+                  // r18 (ADVICE): the input_file_name attribution must
+                  // cover EVERY segment — a path layout the regex does
+                  // not match would group rows under "" and default the
+                  // missed segments to size 0, putting the whole index
+                  // in one tier and compacting segments the policy
+                  // promises never to rewrite. An empty stats table
+                  // (sumdl 0) is legitimate, so coverage is checked on
+                  // the key SET, with the old per-segment one-row reads
+                  // as the fallback rather than a hard failure.
+                  val statRows =
+                    if (segs.forall(s => unionRows.contains(s.dir))) unionRows
+                    else segs.map { s =>
+                      s.dir -> spark.read
+                        .parquet(s"$indexPath/${s.dir}/stats")
+                        .agg(coalesce(sum(col("sumdl")), lit(0L))
+                          .cast("long"))
+                        .collect()(0).getLong(0)
+                    }.toMap
                   val bySize = segs.sortBy(s => statRows.getOrElse(s.dir, 0L))
                   val sizes = bySize.map(s => statRows.getOrElse(s.dir, 0L))
                   var cut = nVictims

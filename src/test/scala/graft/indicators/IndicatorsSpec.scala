@@ -61,6 +61,44 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(out.getAs[Double]("macd_hist") === 0.0)
   }
 
+  test("macd: null closes — fused scan ≡ the chained three-EMA composition") {
+    import org.apache.spark.sql.functions.col
+    // The r17 ADVICE claimed the fused scan emits (null,null,null) on a
+    // null close after seeding and freezes the signal state. It does
+    // not: the null branch carries (f0, s0) which stay Some once seeded,
+    // so the seeded case emits the CARRIED line and ADVANCES the signal
+    // on it — exactly the chained composition. This spec pins that
+    // equivalence on nulls at the head (unseeded), mid-stream (seeded,
+    // single and consecutive), and the tail.
+    val rows = Seq[Option[Double]](None, Some(10.0), Some(12.0), None,
+      Some(11.0), None, None, Some(14.0), Some(13.0), None)
+    val df = rows.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }
+      .toDF("sym", "seq", "close")
+    val fused = Indicators.macd(df, Seq("sym"), Seq("seq"), "close",
+        fast = 3, slow = 7, signal = 3).orderBy("seq")
+      .select("macd_line", "macd_signal", "macd_hist").collect()
+    // the pre-r17 three-kernel composition, inlined verbatim
+    val f = graft.ops.SequentialOps.ema(df, Seq("sym"), Seq("seq"),
+      "close", 2.0 / 4, "__f")
+    val s = graft.ops.SequentialOps.ema(f, Seq("sym"), Seq("seq"),
+      "close", 2.0 / 8, "__s")
+    val line = s.withColumn("line", col("__f") - col("__s"))
+    val chained = graft.ops.SequentialOps.ema(line, Seq("sym"), Seq("seq"),
+        "line", 2.0 / 4, "sig")
+      .withColumn("hist", col("line") - col("sig"))
+      .orderBy("seq").select("line", "sig", "hist").collect()
+    fused.zip(chained).zipWithIndex.foreach { case ((a, b), i) =>
+      (0 until 3).foreach { c =>
+        assert(a.isNullAt(c) === b.isNullAt(c), s"row $i col $c nullity")
+        if (!a.isNullAt(c))
+          assert(a.getDouble(c) === b.getDouble(c), s"row $i col $c value")
+      }
+    }
+    // and the seeded null-close row (seq 3) is non-null on both forms:
+    // carried line, signal advanced one step on it
+    assert(!fused(3).isNullAt(0) && !fused(3).isNullAt(1))
+  }
+
   test("atr: EMA of true range with alpha 2/(p+1) seeded at first TR") {
     val df = Seq(("S", 1L, 12.0, 8.0, 10.0), ("S", 2L, 11.0, 9.0, 9.5))
       .toDF("sym", "seq", "high", "low", "close")

@@ -36,6 +36,26 @@ class ReportsSpec extends SparkSpecBase {
     assert(out(1).isNullAt(out(1).fieldIndex("wfe"))) // IS mean negative
   }
 
+  test("sweepSummaries: NULL run_ids span the timestamps but never count as runs") {
+    // pre-r17 contract (countDistinct(run_id) + row-level min/max):
+    // a NULL run_id row's timestamp participates in started/duration,
+    // but it is no run — run_count/error_count exclude it even when its
+    // status is non-ok (the r18 ADVICE fix).
+    val ledger = Seq(
+      ("sw", Option("r1"), "ok", 1000L, "dl", "obj"),
+      ("sw", Option("r1"), "error", 2000L, "dl", "obj"),
+      ("sw", Option("r2"), "ok", 3000L, "dl", "obj"),
+      ("sw", Option.empty[String], "error", 9000L, "dl", "obj"))
+      .toDF("sweep_id", "run_id", "status", "run_ts_ms",
+        "decision_logic_type", "objective_name")
+    val r = Reports.sweepSummaries(ledger).collect().head
+    assert(r.getAs[Long]("run_count") === 2L)
+    assert(r.getAs[Long]("error_count") === 1L)   // r1 only, not the NULL row
+    assert(r.getAs[Long]("ok_count") === 1L)
+    assert(r.getAs[Long]("started_ms") === 1000L)
+    assert(math.abs(r.getAs[Double]("duration_s") - 8.0) < 1e-12) // 9000 spans
+  }
+
   test("sweepRanking: objective desc with stable run_id tie-break, errors excluded") {
     val ledger = Seq(
       ("sw1", "r3", "ok", 5.0), ("sw1", "r1", "ok", 5.0),
