@@ -37,7 +37,7 @@ case class Vec(id: Long, v: Array[Double], norm: Double)
 
 object Similarity {
 
-  private def toVecs(df: DataFrame, id: String, vec: String): Dataset[Vec] = {
+  private[similarity] def toVecs(df: DataFrame, id: String, vec: String): Dataset[Vec] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(id).cast("long").as("id"), col(vec).as("v"))
@@ -488,15 +488,24 @@ object Similarity {
   def ivfCosineTopK(df: DataFrame, id: String, vec: String, k: Int,
                     cells: Int = 0, probes: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val nCells =
       if (cells > 0) cells
       else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val vecs = toVecs(df, id, vec)
       .repartition(spark.sparkContext.defaultParallelism)
-    // (cell, isMember, vec): each vector lands in its `probes` best cells
-    // as a probe; its single best cell (rank 0) also marks it a member.
-    val reps = vecs.mapPartitions { it =>
+    ivfScore(ivfAssign(vecs, nCells, probes), k)
+  }
+
+  /** IVF cell assignment — (cell, isMember, vec): each vector lands in
+    * its `probes` best cells as a probe; its single best cell (rank 0)
+    * also marks it a member. Shared verbatim by the per-call path and
+    * the persisted-index build ([[VectorIndex]]), so the serve path's
+    * equivalence is by construction. */
+  private[similarity] def ivfAssign(vecs: Dataset[Vec], nCells: Int,
+      probes: Int): Dataset[(Int, Boolean, Vec)] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.mapPartitions { it =>
       var cent: Array[Array[Double]] = null
       it.flatMap { a =>
         if (cent == null || cent(0).length < a.v.length)
@@ -514,6 +523,17 @@ object Similarity {
           .map { case (cell, i) => (cell, i == 0, a) }
       }
     }
+  }
+
+  /** Per-cell exact-cosine scan + global rank over an IVF replication
+    * stream — the second half of [[ivfCosineTopK]], shared with the
+    * index serve path. Order-insensitive: every pair's cosine is
+    * computed independently in j-ascending order and ranks tie-break on
+    * id, so the reps' partitioning/arrival order never changes output. */
+  private[similarity] def ivfScore(reps: Dataset[(Int, Boolean, Vec)],
+      k: Int): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
     val partials = reps.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
@@ -580,16 +600,26 @@ object Similarity {
                 rerank: Int = 32): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = df.sparkSession
-    import spark.implicits._
     val nCells =
       if (cells > 0) cells
       else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val vecs = toVecs(df, id, vec)
       .repartition(spark.sparkContext.defaultParallelism)
+    val sampled = pqSampleCodebook(df, id, vec, codewords)
+    ivfPqScore(
+      ivfPqAssign(vecs, nCells, probes, subspaces, codewords, sampled),
+      sampled, subspaces, codewords, rerank, k)
+  }
 
-    // Deterministic data-sampled codebook: first `codewords` vectors by
-    // md5('pqs:' || id) rank donate their sub-vectors. Codebook size is
-    // codewords × d doubles — metadata-scale, broadcast via closure.
+  /** Deterministic data-sampled PQ codebook: first `codewords` vectors
+    * by md5('pqs:' || id) rank donate their sub-vectors. Codebook size
+    * is codewords × d doubles — metadata-scale, broadcast via closure.
+    * Shared by the per-call path and the index build; the index persists
+    * exactly this array (doubles round-trip parquet bit-exactly). */
+  private[similarity] def pqSampleCodebook(df: DataFrame, id: String,
+      vec: String, codewords: Int): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val sampled: Array[Array[Double]] = df
       .select(col(id).cast("long").as("id"), col(vec).as("v"))
       .orderBy(md5(concat(lit("pqs:"), col(id).cast("string"))), col("id"))
@@ -600,13 +630,20 @@ object Similarity {
     require(sampled.length == codewords,
       s"need at least $codewords vectors to sample the PQ codebook, " +
         s"got ${sampled.length}")
+    sampled
+  }
 
+  /** IVF cell assignment with PQ codes riding along — (cell, isMember,
+    * vec, codes), computed once per vector. Shared verbatim with the
+    * index build (see [[ivfAssign]] for the sharing rationale). */
+  private[similarity] def ivfPqAssign(vecs: Dataset[Vec], nCells: Int,
+      probes: Int, subspaces: Int, codewords: Int,
+      sampled: Array[Array[Double]]): Dataset[(Int, Boolean, Vec, Array[Int])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     def codebookOf(sd: Int): Array[Array[Array[Double]]] =
       Array.tabulate(subspaces, codewords, sd)((s, c, j) => sampled(c)(s * sd + j))
-
-    // (cell, isMember, vec, codes): the IVF replication stream with the
-    // vector's PQ codes riding along, computed once per vector.
-    val reps = vecs.mapPartitions { it =>
+    vecs.mapPartitions { it =>
       var cent: Array[Array[Double]] = null
       var cw: Array[Array[Array[Double]]] = null
       it.flatMap { a =>
@@ -651,6 +688,20 @@ object Similarity {
           .map { case (cell, i) => (cell, i == 0, a, codes) }
       }
     }
+  }
+
+  /** Per-cell ADC shortlist + exact-cosine refine + global rank — the
+    * second half of [[ivfPqTopK]], shared with the index serve path.
+    * Order-insensitive like [[ivfScore]]: integer ADC scores tie-break
+    * on id, the refine recomputes exact cosines per pair. */
+  private[similarity] def ivfPqScore(
+      reps: Dataset[(Int, Boolean, Vec, Array[Int])],
+      sampled: Array[Array[Double]], subspaces: Int, codewords: Int,
+      rerank: Int, k: Int): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    def codebookOf(sd: Int): Array[Array[Array[Double]]] =
+      Array.tabulate(subspaces, codewords, sd)((s, c, j) => sampled(c)(s * sd + j))
 
     val partials = reps.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -1009,10 +1060,19 @@ object Similarity {
   def knnLabels(df: DataFrame, id: String, vec: String, label: String,
                 k: Int = 5, cells: Int = 0, probes: Int = 4,
                 pq: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nn =
       if (pq) ivfPqTopK(df, id, vec, k, cells, probes)
       else ivfCosineTopK(df, id, vec, k, cells, probes)
+    knnVote(df, nn, id, label)
+  }
+
+  /** The vote/join half of [[knnLabels]] over a precomputed neighbor
+    * table — shared with the index serve path ([[VectorIndex]]): label
+    * lookups keep reading the SOURCE table (a two-column pruned scan),
+    * so output column types match the per-call form exactly. */
+  private[similarity] def knnVote(df: DataFrame, nn: DataFrame, id: String,
+      label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val votes = nn
       .join(df.select(col(id).as("id_b"), col(label).as("nbr_label")),
         Seq("id_b"))
