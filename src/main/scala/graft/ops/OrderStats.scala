@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Scalable EXACT grouped percentiles (SURVEY A12/A13 at scale),
-  * SIZE-ROUTED on the number of distinct (spec, group, value) cells —
-  * the family convention ([[graft.dedup.Clusters]],
-  * [[graft.dedup.Contamination]]): a bounded probe picks the branch,
-  * both branches are exact, and a parity spec pins them identical.
+  * SIZE-ROUTED PER SPEC on the number of distinct (spec, group, value)
+  * cells — the family convention ([[graft.dedup.Clusters]],
+  * [[graft.dedup.Contamination]]): a bounded probe picks each spec's
+  * branch independently, both branches are exact, and a parity spec
+  * pins them identical. Per-spec routing (r18) keeps bounded-domain
+  * measures on the histogram branch when a near-unique sibling forces
+  * the sort branch, so the sort carries only the specs that need it.
   *
   * Spark's `percentile` aggregate is exact but buffers every value of a
   * group inside one aggregation buffer (a value→count map — fine for
@@ -63,9 +66,11 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   */
 object OrderStats {
 
-  /** Histogram-branch cap on distinct (spec, group, value) cells — the
-    * driver holds one count per cell (≤ ~100 MB at the cap). Above it,
-    * the sort branch keeps everything distributed. */
+  /** Histogram-branch cap on distinct (spec, group, value) cells of ONE
+    * spec — bounds the cell stream the selection window exchanges (the
+    * driver holds only the ≤2 straddling rows per (spec, group) since
+    * r17). Above it, that spec routes to the sort branch, which keeps
+    * everything distributed. */
   val HistogramMaxCells: Long = 1000000L
 
   /** One percentile request: `value` column, percentile in [0, 1], and
@@ -84,28 +89,43 @@ object OrderStats {
     specs.foreach(s => require(s.p >= 0 && s.p <= 1,
       s"percentile must be in [0,1], got ${s.p}"))
     val spark = df.sparkSession
-    // ONE scan of the fact table for ALL specs: explode a per-row array
-    // of (spec-index, value) structs instead of unioning one df.select
-    // per spec — the union form re-read the source k times (k scans of a
-    // 100 TB table for a k-percentile request; q10 was the only query in
-    // the suite whose plan read the same source more than once).
-    val melted = df
+    // ONE scan of the fact table for ALL specs of a branch: explode a
+    // per-row array of (spec-index, value) structs instead of unioning
+    // one df.select per spec — the union form re-read the source k times
+    // (k scans of a 100 TB table for a k-percentile request; q10 was the
+    // only query in the suite whose plan read the same source more than
+    // once). `w` is always the GLOBAL spec index, so branch results
+    // merge by key.
+    def meltFor(ws: Seq[Int]): DataFrame = df
       .select(col(group).as("g"),
-        explode(array(specs.zipWithIndex.map { case (s, i) =>
-          struct(lit(i).as("w"), col(s.value).cast("double").as("v"))
+        explode(array(ws.map { i =>
+          struct(lit(i).as("w"), col(specs(i).value).cast("double").as("v"))
         }: _*)).as("wv"))
       .select(col("g"), col("wv.w").as("w"), col("wv.v").as("v"))
       .where(col("v").isNotNull)
 
-    // Route probe: distinct (spec, group, value) cells, approximately —
-    // a single scan with sketch-sized state (no shuffle of data rows).
-    val approxCells = melted
+    // Route probe, PER SPEC (r18): distinct (spec, group, value) cells,
+    // approximately — a single scan with sketch-sized state (no shuffle
+    // of data rows). Routing each spec independently keeps bounded-
+    // domain measures (quantities, ratings — the common analytic case)
+    // on the histogram branch even when a near-unique sibling spec
+    // forces the sort branch: the range-partitioned sort then carries
+    // ONLY the near-unique specs' rows instead of k× the fact stream,
+    // and its scan prunes to just those value columns. Both branches
+    // stay exact, so the split can change cost but never results.
+    val cellsPerSpec: Map[Int, Long] = meltFor(specs.indices)
+      .groupBy(col("w"))
       .agg(approx_count_distinct(
         xxhash64(col("w"), col("g"), col("v"))).as("c"))
-      .collect()(0).getLong(0)
-    val (totals, picked) =
-      if (approxCells <= histogramMaxCells) histogramSelection(melted, specs)
-      else sortSelection(melted, specs)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (histW, sortW) = specs.indices.partition(i =>
+      cellsPerSpec.getOrElse(i, 0L) <= histogramMaxCells)
+    val branches = Seq(
+      (histW, histogramSelection _),
+      (sortW, sortSelection _)
+    ).collect { case (ws, sel) if ws.nonEmpty => sel(meltFor(ws), specs) }
+    val totals = branches.map(_._1).fold(Map.empty)(_ ++ _)
+    val picked = branches.map(_._2).fold(Map.empty)(_ ++ _)
 
     // Interpolate with the percentile aggregate's own formula.
     val groups = totals.keys.map(_._2).toSeq.distinct

@@ -95,20 +95,32 @@ object RelationalQueries extends QueryPack {
         GROUP BY r_name ORDER BY r_name"""),
       "Snowflake dimension joins, broadcast both dims (SURVEY J4)"),
 
-    // Fact-to-fact join + aggregation.
+    // Fact-to-fact join + aggregation. The join and the segment
+    // aggregate carry ORDERS, not line items: lineitem pre-aggregates to
+    // (orderkey, revenue partial, line count) before the join (guide
+    // §2.3 aggregate-before-shuffle), so the orderkey exchange moves one
+    // row per order in the date range, the countDistinct disappears
+    // outright (post-join each surviving orderkey is exactly one row —
+    // o_orderkey is unique in orders — so n_orders is a plain count),
+    // and n_lines is the sum of the per-order counts. Revenue
+    // reassociates the per-order partial sums, the same FP-sum class as
+    // every partial aggregate; the 2-dp round + oracle hash gate it.
     "q04_revenue_segment" -> QueryDef(
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
             && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"),
+            count(lit(1)).as("__nl"))
         li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"),
-            count(lit(1)).as("n_lines"))
+            round(sum(col("__rev")), 2).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            sum(col("__nl")).as("n_lines"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment,

@@ -42,50 +42,99 @@ object SourceSig {
     * entries. */
   val SmallSubsetFiles: Int = 2
 
+  /** Above this many distinct parent directories the per-directory
+    * listing loop runs as a Spark job over the parents (the
+    * `InMemoryFileIndex` parallel-partition-discovery contract, default
+    * threshold 32 like Spark's) instead of a sequential driver loop: at
+    * the 10⁵-directory design point a one-RPC-per-directory driver loop
+    * is minutes of serial metadata latency, and the r17 memo contentSig
+    * put this listing on every cached-pair call.
+    * `SPARK_GRAFT_PARALLEL_LISTING_DIRS` overrides (scale knob, local
+    * default matches Spark's). */
+  def parallelListingDirs: Int =
+    sys.env.get("SPARK_GRAFT_PARALLEL_LISTING_DIRS").map(_.toInt)
+      .getOrElse(32)
+
+  /** Number of distributed listing JOBS issued (accounting hook for the
+    * parallel path, as [[listingCalls]] is for the RPCs). */
+  val parallelListings = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Sorted (path, length, mtime) listing of a DataFrame's file-backed
-    * sources — a driver-side FS listing, no data pass; ONE `listStatus`
+    * sources — an FS metadata listing, no data pass; ONE `listStatus`
     * per distinct parent directory (see [[listingCalls]]), except that a
     * parent contributing ≤ [[SmallSubsetFiles]] files (or a file with no
     * parent — the filesystem root, whose `getParent` is null) is stated
-    * per-file. Empty for in-memory sources. A source file that vanished
-    * between the scan's own listing and this call fails loudly. */
+    * per-file. Past [[parallelListingDirs]] distinct parents the
+    * per-parent RPCs run as one Spark job over the parent list (r18 —
+    * the listing count is unchanged, the latency stops being serial
+    * driver work). Empty for in-memory sources. A source file that
+    * vanished between the scan's own listing and this call fails
+    * loudly. */
   def fileListing(docs: DataFrame): Seq[SourceFile] = {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val files = docs.inputFiles.toSeq
     if (files.isEmpty) Nil
     else {
-      def statOne(f: String): (String, (Long, Long)) = {
-        listingCalls.incrementAndGet()
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        f -> (st.getLen, st.getModificationTime)
-      }
-      val byParent = files.groupBy(f =>
-        Option(new org.apache.hadoop.fs.Path(f).getParent))
-      val statuses: Map[String, (Long, Long)] = byParent.flatMap {
-        case (None, children) =>
-          // a file AT the filesystem root has no parent to list
-          children.map(statOne)
-        case (Some(_), children) if children.size <= SmallSubsetFiles =>
-          children.map(statOne)
-        case (Some(parent), children) =>
-          listingCalls.incrementAndGet()
-          // keyed by file NAME within this parent: callers keep the
-          // scan's own path string (listStatus may render the scheme
-          // differently, e.g. file:/ vs file:///)
-          val byName = children.map(f =>
-            new org.apache.hadoop.fs.Path(f).getName -> f).toMap
-          parent.getFileSystem(conf).listStatus(parent).toSeq.flatMap { st =>
-            byName.get(st.getPath.getName)
-              .map(f => f -> (st.getLen, st.getModificationTime))
-          }
-      }
+      val byParent: Seq[(Option[String], Seq[String])] = files
+        .groupBy(f => Option(new org.apache.hadoop.fs.Path(f).getParent)
+          .map(_.toString))
+        .toSeq
+      // RPC accounting is identical on both paths: one getFileStatus per
+      // small-subset/rootless file, one listStatus per listed parent.
+      listingCalls.addAndGet(byParent.map {
+        case (None, children) => children.size.toLong
+        case (Some(_), children) =>
+          if (children.size <= SmallSubsetFiles) children.size.toLong else 1L
+      }.sum)
+      val statuses: Map[String, (Long, Long)] =
+        if (byParent.size > parallelListingDirs) {
+          parallelListings.incrementAndGet()
+          val sc = docs.sparkSession.sparkContext
+          val serConf = org.apache.spark.graftbridge.SerializableConf(conf)
+          val slices = math.min(byParent.size, sc.defaultParallelism * 4)
+          sc.parallelize(byParent, slices)
+            .flatMap { case (parent, children) =>
+              listGroup(parent, children, serConf.value) }
+            .collect().toMap
+        } else byParent.iterator
+          .flatMap { case (parent, children) =>
+            listGroup(parent, children, conf) }
+          .toMap
       files.sorted.map { f =>
         val (len, mtime) = statuses.getOrElse(f,
           throw new java.io.FileNotFoundException(
             s"source file vanished between scan listing and sig listing: $f"))
         SourceFile(f, len, mtime)
       }
+    }
+  }
+
+  /** One parent group's statuses — shared by the sequential and the
+    * distributed listing paths so both return byte-identical results. */
+  private def listGroup(parent: Option[String], children: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, (Long, Long))] = {
+    def statOne(f: String): (String, (Long, Long)) = {
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      f -> (st.getLen, st.getModificationTime)
+    }
+    parent match {
+      case None => children.map(statOne)
+      case Some(_) if children.size <= SmallSubsetFiles =>
+        children.map(statOne)
+      case Some(parentStr) =>
+        // keyed by file NAME within this parent: callers keep the
+        // scan's own path string (listStatus may render the scheme
+        // differently, e.g. file:/ vs file:///)
+        val parentPath = new org.apache.hadoop.fs.Path(parentStr)
+        val byName = children.map(f =>
+          new org.apache.hadoop.fs.Path(f).getName -> f).toMap
+        parentPath.getFileSystem(conf).listStatus(parentPath).toSeq
+          .flatMap { st =>
+            byName.get(st.getPath.getName)
+              .map(f => f -> (st.getLen, st.getModificationTime))
+          }
     }
   }
 

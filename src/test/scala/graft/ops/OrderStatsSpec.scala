@@ -101,4 +101,36 @@ class OrderStatsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("per-spec routing: mixed histogram/sort split matches both pure branches") {
+    // price is near-unique (~6000 cells), qty is bounded (~50 cells): a
+    // cap between the two routes price to the sort branch and qty to the
+    // histogram branch IN ONE CALL — the r18 split. Results must be
+    // bit-identical to the all-histogram and all-sort forms and to the
+    // aggregate.
+    val rows = (1 to 6000).map { i =>
+      val g = s"g${i % 4}"
+      val price = math.sin(i * 3.7171) * 9876.54321 % 200.0
+      (g, price, (i % 50).toDouble)
+    }
+    val df = rows.toDF("k", "price", "qty").repartition(8)
+    val specs = Seq(PctSpec("price", 0.95, "p95"), PctSpec("qty", 0.5, "med"),
+      PctSpec("price", 0.25, "q1"))
+    val mixed = asMap(OrderStats.groupedPercentiles(df, "k", specs,
+      histogramMaxCells = 1000L).collect(), specs.length)
+    val allHist = asMap(
+      OrderStats.groupedPercentiles(df, "k", specs).collect(), specs.length)
+    val allSort = asMap(OrderStats.groupedPercentiles(df, "k", specs,
+      histogramMaxCells = 0L).collect(), specs.length)
+    val want = asMap(viaAggregate(df, "k", specs).collect(), specs.length)
+    assert(mixed.keySet === want.keySet)
+    mixed.keySet.foreach { k =>
+      specs.indices.foreach { j =>
+        val m = mixed(k)(j).asInstanceOf[Double]
+        assert(m === want(k)(j).asInstanceOf[Double], s"group $k spec $j vs aggregate")
+        assert(m === allHist(k)(j).asInstanceOf[Double], s"group $k spec $j vs histogram")
+        assert(m === allSort(k)(j).asInstanceOf[Double], s"group $k spec $j vs sort")
+      }
+    }
+  }
 }
