@@ -1007,8 +1007,7 @@ object Similarity {
     }
     // In-kernel scoring per bucket: the cap skips degenerate buckets
     // (see scaladoc); inside a kept bucket every ordered pair is scored
-    // with the shared summation-order kernel. Duplicate pairs from other
-    // tables collapse in the distinct below (bit-identical cosines).
+    // with the shared summation-order kernel.
     val scored = buckets.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val vs = it.map(_._2).toArray
@@ -1019,11 +1018,23 @@ object Similarity {
             yield (vs(i).id, vs(j).id, cosine(vs(i), vs(j)))
         }
       }
-      .distinct()
       .toDF("id_a", "id_b", "cosine")
+    // Duplicate pairs from other tables carry bit-identical cosines (one
+    // deterministic kernel per (i, j)), so in the ranking window's own
+    // (cosine desc, id_b asc) order every copy of a pair is ADJACENT —
+    // dedup rides the window's exchange + sort via lag() instead of a
+    // `.distinct()` paying a second full shuffle of the scored pair
+    // stream (r18, guide §2.4: operations keyed the same way share one
+    // exchange; before/after plans in plans/r18/q34_*). Both windows
+    // share one partitioning + sort; the row_number after the filter
+    // re-ranks only surviving rows, exactly the old distinct-then-rank.
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b").asc)
     scored
+      .withColumn("__dup",
+        lag(col("id_b"), 1).over(w) === col("id_b") &&
+          lag(col("cosine"), 1).over(w) === col("cosine"))
+      .filter(!coalesce(col("__dup"), lit(false)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("rank"), round(col("cosine"), 6).as("cosine"))

@@ -704,13 +704,14 @@ object Retrieval {
     * aggregate over the (filtered) postings read, so the index never
     * goes stale against its own postings. Crash safety: segments are
     * written BEFORE the manifest rename, so readers see the old complete
-    * index until the new one is complete; directories no longer
-    * referenced (orphans of a crashed build, compacted-away segments,
-    * the legacy v2 tables) are swept with a ONE-GENERATION deferral
-    * (Lucene's deletion policy): a commit deletes only directories that
-    * neither its own manifest nor the manifest it replaced references,
-    * so any reader obtained under the previous manifest stays servable
-    * through one subsequent commit. Writers are SINGLE-WRITER per
+    * index until the new one is complete; RETIRED directories (replaced
+    * segments, compacted-away victims, the legacy v2 tables) are swept
+    * under a retention ledger (Lucene's deletion-policy family, r18):
+    * kept for `keepGenerations` commits AND `graceMs` wall-clock after
+    * retirement — defaults reproduce the one-generation deferral — so
+    * readers obtained under recent manifests stay servable; crashed-
+    * build orphans (never referenced by any manifest) are swept
+    * immediately. Writers are SINGLE-WRITER per
     * `indexPath` — concurrent builds are a loud error via `_build.lock`
     * (see `withBuildLock`).
     */
@@ -848,6 +849,16 @@ object Retrieval {
       IndexSegment(m(s"seg.$i.dir"), dec(m(s"seg.$i.files")))
     }
   }
+
+  /** Retired-directory retention ledger of a manifest (r18):
+    * (dir, generation retired at, epoch-ms retired at). Empty for
+    * pre-ledger manifests. */
+  private[text] def decodeRetired(
+      m: Map[String, String]): Seq[(String, Long, Long)] =
+    (0 until m.getOrElse("n_retired", "0").toInt).map { i =>
+      (m(s"retired.$i.dir"), m(s"retired.$i.gen").toLong,
+        m(s"retired.$i.at").toLong)
+    }
 
   /** Filesystem metadata RPCs issued by the shared listing — the
     * spec's accounting hook, aliased from [[graft.util.SourceSig]] (one
@@ -1007,10 +1018,33 @@ object Retrieval {
     * never rewrite — always survives. */
   val TierRatio: Double = 3.0
 
+  /** Default retired-generation retention (r18, VERDICT r17 #8): how
+    * many commits a RETIRED directory (replaced segment / compacted-away
+    * victim / legacy v2 table) survives past its replacement, and a
+    * minimum wall-clock grace since retirement. A directory is swept
+    * only when it is BOTH more than keepGenerations commits behind the
+    * live manifest AND retired at least graceMs ago — so a streaming
+    * reader holding plans from a few commits back (or one mid-scan
+    * during a rapid commit burst) never loses its segment files. The
+    * local defaults reproduce the pre-r18 one-generation deferral
+    * exactly; production raises them via
+    * `SPARK_GRAFT_INDEX_KEEP_GENERATIONS` / `SPARK_GRAFT_INDEX_GRACE_MS`
+    * (retained bytes are bounded by the commits inside the window —
+    * the soak's accounting pins it). */
+  def defaultKeepGenerations: Int =
+    sys.env.get("SPARK_GRAFT_INDEX_KEEP_GENERATIONS").map(_.toInt)
+      .getOrElse(1)
+  def defaultGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_INDEX_GRACE_MS").map(_.toLong).getOrElse(0L)
+
   def buildPostingsIndex(docs: DataFrame, id: String, text: String,
       indexPath: String, sourceTag: String,
-      contentFingerprint: Boolean = true, maxSegments: Int = 8): Unit = {
+      contentFingerprint: Boolean = true, maxSegments: Int = 8,
+      keepGenerations: Int = -1, graceMs: Long = -1L): Unit = {
     require(maxSegments >= 1, "maxSegments must be at least 1")
+    val keepGens =
+      if (keepGenerations >= 0) keepGenerations else defaultKeepGenerations
+    val grace = if (graceMs >= 0L) graceMs else defaultGraceMs
     val spark = docs.sparkSession
     withBuildLock(spark, indexPath) {
     val listing = if (contentFingerprint) fileListing(docs) else Nil
@@ -1036,47 +1070,72 @@ object Retrieval {
     }
 
     /** Manifest LAST (atomic rename — readers see old or new, never a
-      * partial index), then sweep stale directories — DEFERRED one
-      * generation (the Lucene deletion policy): a directory is deleted
-      * only when neither the NEW manifest nor the manifest this commit
-      * REPLACED references it. An outstanding lazy reader (a DataFrame
-      * from [[bm25FromIndex]]/[[tfidfFromIndex]] obtained before this
-      * build, or a query mid-scan in another thread) holds plans over the
+      * partial index), then sweep stale directories under a RETENTION
+      * LEDGER (the Lucene deletion-policy family, r18: N generations +
+      * wall-clock grace instead of the fixed one-generation deferral).
+      * The manifest records every RETIRED directory (replaced segment,
+      * compacted-away victim, legacy v2 table) with the generation and
+      * time it was retired; a commit deletes a retired directory only
+      * when it is more than `keepGens` generations behind AND at least
+      * `grace` ms retired. An outstanding lazy reader (a DataFrame from
+      * [[bm25FromIndex]]/[[tfidfFromIndex]] obtained before this build,
+      * or a query mid-scan in another thread) holds plans over a
       * previous generation's segments; the round-15 eager sweep deleted
       * those immediately after the rename and such readers died with
-      * FileNotFoundException. With the deferral, every reader obtained
-      * under the previous manifest stays servable through ONE subsequent
-      * commit; orphans from generation N−2 (and crashed builds) are swept
-      * at commit N. The legacy v2 single-table layout gets the same
-      * grace: its postings/stats tables are kept by the first v3 commit
-      * and swept by the second. */
+      * FileNotFoundException — the ledger extends the survival window
+      * to any (generations, ms) the deployment needs, while retained
+      * bytes stay bounded by the commits inside that window. A
+      * directory on disk that neither the manifest nor the ledger
+      * references (a crashed build's leftover — never visible to any
+      * reader) is swept immediately, so orphans cannot accumulate. The
+      * defaults (1 generation, 0 ms) reproduce the pre-r18 behavior:
+      * generation N−2 is swept at commit N. */
     def commitManifest(segs: Seq[IndexSegment], nextSeg: Long): Unit = {
+      val now = System.currentTimeMillis()
+      val gPrev = anyPrev.flatMap(_.get("generation")).map(_.toLong)
+        .getOrElse(0L)
+      val gNew = gPrev + 1L
+      val keep = segs.map(_.dir).toSet
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // dirs the REPLACED manifest served (with no previous v3 manifest,
+      // any legacy v2 tables actually on disk), now retiring
+      val prevDirs = anyPrev match {
+        case Some(pm) => decodeSegments(pm).map(_.dir)
+        case None => Seq("postings", "stats").filter(d =>
+          fs.exists(new org.apache.hadoop.fs.Path(root, d)))
+      }
+      val carried = anyPrev.toSeq.flatMap(decodeRetired)
+        .filterNot { case (d, _, _) => keep(d) }
+      val newlyRetired = prevDirs
+        .filterNot(d => keep(d) || carried.exists(_._1 == d))
+        .map(d => (d, gPrev, now))
+      val retain = (carried ++ newlyRetired).filterNot {
+        case (_, g, at) => gNew - g > keepGens && now - at >= grace
+      }
       val kv = Map(
         "config" -> config,
         "files_codec" -> "esc1",
         "content_mode" -> contentMode.toString,
         "next_seg" -> nextSeg.toString,
-        "n_segments" -> segs.size.toString) ++
+        "generation" -> gNew.toString,
+        "n_segments" -> segs.size.toString,
+        "n_retired" -> retain.size.toString) ++
         segs.zipWithIndex.flatMap { case (s, i) =>
           Map(s"seg.$i.dir" -> s.dir, s"seg.$i.files" -> packFiles(s.files))
+        } ++
+        retain.zipWithIndex.flatMap { case ((d, g, at), i) =>
+          Map(s"retired.$i.dir" -> d, s"retired.$i.gen" -> g.toString,
+            s"retired.$i.at" -> at.toString)
         }
       graft.catalog.Catalog.writeKvFile(spark,
         s"$indexPath/_segments.json", kv)
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val keep = segs.map(_.dir).toSet
-      // previous generation stays on disk for its outstanding readers;
-      // with no previous v3 manifest, the legacy v2 tables are the
-      // previous generation
-      val prevKeep = anyPrev match {
-        case Some(pm) => decodeSegments(pm).map(_.dir).toSet
-        case None => Set("postings", "stats")
-      }
+      val retained = retain.map(_._1).toSet
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
         val legacy = name == "postings" || name == "stats"
         val stale = (name.startsWith("seg_") || legacy) &&
-          !keep(name) && !prevKeep(name)
+          !keep(name) && !retained(name)
         if (stale) fs.delete(st.getPath, true)
       }
     }
@@ -1257,6 +1316,28 @@ object Retrieval {
       "config")
   }
 
+  /** Per-segment stats schema — fixed by the index format (v1–v3:
+    * `statsFor` writes exactly these two longs), passed explicitly so a
+    * stats read never runs a schema-inference job. */
+  private val statsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sumdl",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Postings schema per (session, indexPath, config fingerprint) —
+    * only the `doc` column's type varies (the source id column), and the
+    * config fingerprint pins it (a changed id column is a changed
+    * `columns` config ⇒ full rebuild ⇒ new fingerprint), so the one
+    * footer-read job per index pays once per session instead of once
+    * per QUERY (r18: q99/q100 each ran two schema-inference jobs per
+    * call — measured by tools/JobCensus as 2 of q100's 13 steady-state
+    * jobs). Bounded: one entry per distinct index an application
+    * serves. */
+  private val postingsSchemaCache =
+    scala.collection.mutable.HashMap
+      .empty[(Int, String, String), org.apache.spark.sql.types.StructType]
+
   /** Postings + corpus stats of a [[buildPostingsIndex]] index: the
     * union of every manifest segment's postings (rows are disjoint —
     * each document lives in exactly one segment — and both consumers
@@ -1264,16 +1345,23 @@ object Retrieval {
     * stats row. Falls back to the pre-segment v2 single-table layout
     * when no manifest exists. Reading the union keeps per-file row-group
     * pruning: a query's `term IN (...)` pushes into every segment's
-    * scan. */
+    * scan. Schemas are supplied explicitly (memoized per index config),
+    * so serving never pays per-call schema-inference jobs. */
   private def readIndex(spark: SparkSession,
       indexPath: String): (DataFrame, DataFrame) =
     readSegmentManifest(spark, indexPath) match {
       case Some(m) =>
         val dirs = decodeSegments(m).map(_.dir)
         require(dirs.nonEmpty, s"empty postings index at $indexPath")
-        val postings = spark.read.parquet(
+        val key = (System.identityHashCode(spark), indexPath,
+          m.getOrElse("config", ""))
+        val postingsSchema = postingsSchemaCache.synchronized {
+          postingsSchemaCache.getOrElseUpdate(key,
+            spark.read.parquet(s"$indexPath/${dirs.head}/postings").schema)
+        }
+        val postings = spark.read.schema(postingsSchema).parquet(
           dirs.map(d => s"$indexPath/$d/postings"): _*)
-        val stats = spark.read.parquet(
+        val stats = spark.read.schema(statsSchema).parquet(
             dirs.map(d => s"$indexPath/$d/stats"): _*)
           .agg(sum(col("n")).cast("long").as("n"),
             sum(col("sumdl")).cast("long").as("sumdl"))
@@ -1350,7 +1438,14 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
 
     val (postings, statsRow) = readIndex(spark, indexPath)
-    val stats = broadcast(statsRow.select(col("n")))
+    // N is one bounded driver read (k one-row segment stats, the
+    // indexStatus shape) used BOTH for the census-skip bound and as a
+    // literal in the score expression — r18: the old plan re-derived the
+    // same scalar through a broadcast crossJoin of the stats aggregate,
+    // one more exchange + one more bounded job per call for a value the
+    // driver had already collected. Same double division, same operands
+    // ⇒ bit-identical scores.
+    val nDocs = statLong(statsRow.collect()(0), "n")
 
     lazy val sig = contentSig(postings)
     // Decidable census-skip (round 16): df ≤ N for every term, and the
@@ -1358,14 +1453,11 @@ object Retrieval {
     // one task (N ≤ hotTaskBytes / PostingRowBytes, ~3.3M docs at the
     // defaults), autoRouteHot's task-bound condition can never hold for
     // the TRUE max-df, so the hot route can never correctly fire and the
-    // sampled census job is pure overhead. The bound costs k one-row
-    // segment-stats reads (the indexStatus read shape) instead of a
-    // sampled aggregate over the postings. Above the bound the census
+    // sampled census job is pure overhead. Above the bound the census
     // runs as before; explicit hotTerms still overrides everything.
     val resolved =
       if (hotTerms >= 0) hotTerms
       else {
-        val nDocs = statLong(statsRow.collect()(0), "n")
         if (nDocs <= hotTaskBytes / PostingRowBytes) 0
         else resolveHot(-1,
           censusDfPostings(postings, censusFraction, sig),
@@ -1374,13 +1466,12 @@ object Retrieval {
     val joined = dfJoinRouted(postings, resolved, sig)
 
     val tfidf = col("tf").cast("double") / col("dl").cast("double") *
-      log(col("n").cast("double") / col("__df").cast("double"))
+      log(lit(nDocs).cast("double") / col("__df").cast("double"))
 
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("tfidf").desc, col("term").asc)
 
     joined
-      .crossJoin(stats)
       .select(col("doc"), col("term"), round(tfidf, 6).as("tfidf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= m)

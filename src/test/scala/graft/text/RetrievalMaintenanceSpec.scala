@@ -340,4 +340,63 @@ class RetrievalMaintenanceSpec extends SparkSpecBase {
       "above the bound the census must run as before")
     Retrieval.clearCensusCache()
   }
+
+  test("retention ledger: gen-0 reader survives keepGenerations commits") {
+    val base = tmpDir("graft_retention")
+    val corpusDir = s"$base/docs.parquet"
+    val idxDir = s"$base/idx"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(corpusDir)
+    def build(): Unit = Retrieval.buildPostingsIndex(
+      spark.read.parquet(corpusDir), "doc_id", "text", idxDir,
+      sourceTag = corpusDir, keepGenerations = 3, graceMs = 0L)
+    def segDirExists(name: String): Boolean =
+      new java.io.File(s"$idxDir/$name").exists()
+    write(corpus)
+    build() // gen 1: seg_00000
+    val gen0Reader = Retrieval.bm25FromIndex(spark, idxDir, Seq("apple"), 10)
+    // three in-place MODIFY rebuilds — each retires the previous segment
+    write(corpus.filterNot(_._1 == 3L)); build() // gen 2
+    write(corpus.filterNot(_._1 <= 2L)); build() // gen 3
+    write(corpus.filterNot(_._1 <= 3L)); build() // gen 4
+    assert(segDirExists("seg_00000"),
+      "gen-0 segment must survive keepGenerations=3 commits")
+    assert(gen0Reader.collect().map(_.getLong(0)).toSet === Set(1L, 3L),
+      "gen-0 reader must still serve gen-0 data after 3 commits")
+    // the 4th commit puts gen 0 four generations back -> swept; the
+    // ledger bounds retention: only the last keepGenerations retire dirs
+    // remain on disk
+    write(corpus.filterNot(_._1 <= 4L)); build() // gen 5
+    assert(!segDirExists("seg_00000"),
+      "generation N-4 must be swept once past keepGenerations=3")
+    assert(segDirExists("seg_00004"), "live segment stays")
+    val m = Retrieval.readSegmentManifest(spark, idxDir).get
+    assert(Retrieval.decodeRetired(m).size <= 3,
+      "ledger must hold at most keepGenerations retired dirs here")
+  }
+
+  test("retention ledger: graceMs keeps a just-retired dir past its generations") {
+    val base = tmpDir("graft_grace")
+    val corpusDir = s"$base/docs.parquet"
+    val idxDir = s"$base/idx"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(corpusDir)
+    def build(graceMs: Long): Unit = Retrieval.buildPostingsIndex(
+      spark.read.parquet(corpusDir), "doc_id", "text", idxDir,
+      sourceTag = corpusDir, keepGenerations = 0, graceMs = graceMs)
+    def segDirExists(name: String): Boolean =
+      new java.io.File(s"$idxDir/$name").exists()
+    write(corpus)
+    build(graceMs = 3600000L) // gen 1
+    write(corpus.filterNot(_._1 == 3L)); build(graceMs = 3600000L) // gen 2
+    // keepGenerations=0 would sweep gen 0 here, but the 1 h grace holds it
+    assert(segDirExists("seg_00000"),
+      "a just-retired dir inside graceMs must survive even past its generations")
+    // grace elapsed (0 ms): the next commit sweeps it
+    write(corpus.filterNot(_._1 <= 2L)); build(graceMs = 0L) // gen 3
+    assert(!segDirExists("seg_00000"),
+      "once past generations AND grace the dir is swept")
+  }
 }
