@@ -34,8 +34,15 @@ object OrderStatsPhase {
 
     (1 to runs).foreach { r =>
       val h = cell(s"hist  r$r", OrderStats.HistogramMaxCells)
+      // r18: a cap between the qty spec's cell count (~150) and the
+      // price spec's routes qty→histogram and price→sort — the per-spec
+      // SPLIT. The cap-0 cell (both specs forced onto the sort branch,
+      // 2× melt) is exactly the pre-r18 global routing in the regime
+      // where any one spec exceeds the cap, so split-vs-sort is the
+      // change's same-phase A/B at any SF.
+      val p = cell(s"split r$r", 1000L)
       val s = cell(s"sort  r$r", 0L)
-      println(f"[osphase] round $r: hist $h%.3f sort $s%.3f")
+      println(f"[osphase] round $r: hist $h%.3f split $p%.3f sort $s%.3f")
     }
     spark.stop()
   }
